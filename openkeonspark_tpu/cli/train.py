@@ -1,0 +1,131 @@
+"""Training CLI — the reference's ``main_spark.py`` + per-executor
+``distribute_training.main_fun`` collapsed into one launcher (SURVEY.md
+§3.1): no Spark, no parameter servers; multi-host runs are one process per
+host joined via ``jax.distributed`` (see ``cli/launch.py``), single-host
+runs are just this script.
+
+Usage (single host):
+    python -m openkeonspark_tpu.cli.train --input data/FB15K237 \
+        --model transe --hidden_size 200 --alpha 0.01 --train_times 50 \
+        --valid_every 5 --test_link_prediction
+
+Incremental mode (reference batch folders ``<input>/0/ 1/ …``):
+    python -m openkeonspark_tpu.cli.train --input data/KG --batch_number 2 …
+    → trains on data/KG/2/, warm-starting from data/KG-out/1/'s checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+from openkeonspark_tpu.cli.args import build_parser, config_from_args
+from openkeonspark_tpu.config import Config
+from openkeonspark_tpu.data.dataset import load_dataset
+from openkeonspark_tpu.data.index import build_kg_index
+from openkeonspark_tpu.models.base import get_model
+from openkeonspark_tpu.train.loop import train
+from openkeonspark_tpu.train.step import init_state
+
+
+def run(cfg: Config, echo=print) -> dict:
+    """Programmatic entry (the CLI is a thin wrapper). Returns a summary
+    dict with final metrics."""
+    data_dir = cfg.in_path
+    out_dir = cfg.out_path
+    if cfg.batch_number is not None:
+        data_dir = os.path.join(cfg.in_path, str(cfg.batch_number))
+        out_dir = os.path.join(cfg.out_path, str(cfg.batch_number))
+
+    if cfg.coordinator:
+        jax.distributed.initialize(coordinator_address=cfg.coordinator,
+                                   num_processes=cfg.num_processes,
+                                   process_id=cfg.process_id)
+
+    ds = load_dataset(data_dir)
+    echo(f"dataset: {ds.n_ent} entities, {ds.n_rel} relations, "
+         f"{ds.n_train} train / {ds.n_valid} valid / {ds.n_test} test")
+    model = get_model(cfg.model)
+    index = build_kg_index(ds, for_eval=(cfg.test_link_prediction or
+                                         cfg.test_triple_classification))
+
+    d_axis, m_axis = cfg.mesh_shape
+    use_mesh = d_axis * m_axis > 1
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel,
+                       jax.random.key(cfg.seed),
+                       pad_to_multiple=m_axis if use_mesh else 1)
+
+    # incremental warm start from the previous batch's checkpoint
+    from openkeonspark_tpu.ckpt import warm_start_from, warm_start_path
+    prev = warm_start_path(cfg.out_path, cfg.batch_number) \
+        if cfg.batch_number is not None else None
+    if prev:
+        def init_fn(m, c, ne, nr):
+            return init_state(m, c, ne, nr, jax.random.key(c.seed),
+                              pad_to_multiple=m_axis if use_mesh else 1)
+        state, manifest = warm_start_from(state, prev, model, cfg, init_fn)
+        echo(f"warm start from {prev} (step {int(state.step)})")
+
+    step_builder = None
+    if use_mesh:
+        from openkeonspark_tpu.parallel import (make_mesh,
+                                                make_sharded_step_builder,
+                                                shard_state)
+        mesh = make_mesh((d_axis, m_axis))
+        state = shard_state(state, mesh)
+        step_builder = make_sharded_step_builder(mesh)
+        echo(f"mesh: data={d_axis} model={m_axis} "
+             f"({len(mesh.devices.flat)} devices)")
+
+    result = train(cfg, ds, index=index, state=state,
+                   step_builder=step_builder, checkpoint_dir=out_dir,
+                   echo=echo)
+    state = result.state
+
+    # export embeddings (reference Config.save_parameters → vec.json)
+    from openkeonspark_tpu.ckpt import CheckpointManager, export_parameters
+    fmt = getattr(cfg, "export_format", "json")
+    export_name = "embedding.vec.json" if fmt == "json" else "embedding.npz"
+    export_parameters(state.params, model, cfg, ds.n_ent, ds.n_rel,
+                      os.path.join(out_dir, export_name), fmt=fmt)
+    # final manifest records vocab sizes for future warm starts
+    CheckpointManager(out_dir).save(
+        int(state.step), state,
+        extra={"n_ent": ds.n_ent, "n_rel": ds.n_rel, "model": cfg.model,
+               "hidden_size": cfg.hidden_size,
+               "final_loss": result.final_loss})
+
+    summary = {"final_loss": result.final_loss,
+               "stopped_early": result.stopped_early,
+               "best_valid_accuracy": result.best_valid_accuracy,
+               "steps": int(state.step)}
+
+    if cfg.test_link_prediction and ds.n_test:
+        from openkeonspark_tpu.eval import link_prediction
+        res = link_prediction(state.params, cfg, ds, index, log=echo)
+        echo(res.format_table())
+        summary["link_prediction"] = {
+            "filtered_mrr": res.filt_avg.mrr,
+            "filtered_hits10": res.filt_avg.hits10,
+            "raw_mrr": res.raw_avg.mrr,
+        }
+    if cfg.test_triple_classification and ds.n_valid and ds.n_test:
+        from openkeonspark_tpu.eval import triple_classification
+        out = triple_classification(state.params, cfg, ds, index)
+        echo(f"triple classification: {out}")
+        summary["triple_classification"] = out
+    return summary
+
+
+def main(argv=None):
+    args = build_parser(__doc__).parse_args(argv)
+    cfg = config_from_args(args)
+    # export_format isn't part of Config; stash it on the instance dict
+    object.__setattr__(cfg, "export_format", args.export_format)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,112 @@
+"""Central run configuration.
+
+Replaces the reference's three-tier flag system (SURVEY.md §5 "Config /
+flag system"): argparse flags in ``main_spark.py`` → ``Config`` attribute
+setters (``Config.py:~10–140`` reconstructed) → C++ globals in
+``base/Setting.h``. Here it is one frozen dataclass consumed by every layer;
+the CLI (``cli/train.py``) populates it from argparse with flag names kept
+compatible with the reference where they exist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- model ---------------------------------------------------------
+    model: str = "transe"            # transe | transh | transr | transd
+    hidden_size: int = 200           # embedding dim d (ent_size == rel_size)
+    ent_size: Optional[int] = None   # TransR: entity dim d_e (default hidden_size)
+    rel_size: Optional[int] = None   # TransR: relation dim d_r (default hidden_size)
+    p_norm: int = 1                  # score norm: 1 (reference default) or 2
+    margin: float = 1.0              # γ in the margin-ranking loss
+
+    # --- optimization --------------------------------------------------
+    alpha: float = 0.001             # learning rate (reference name)
+    opt_method: str = "sgd"          # sgd | adam (lazy/sparse Adam)
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    train_times: int = 100           # epochs (reference name)
+    nbatches: int = 100              # batches per epoch; batch_size = T // nbatches
+    batch_size: Optional[int] = None  # set explicitly to override nbatches
+    loss_mode: str = "mean_neg"      # "mean_neg": one hinge per positive against the
+                                     # mean negative score (reference TransE.py loss_def
+                                     # semantics); "pairwise": hinge per (pos, neg) pair
+
+    # --- negative sampling --------------------------------------------
+    negative_ent: int = 1            # corrupted-entity negatives per positive
+    negative_rel: int = 0            # corrupted-relation negatives per positive
+    bern: bool = True                # Bernoulli head/tail corruption choice
+    sampler: str = "device"          # device (on-TPU, default) | host (C++ ctypes)
+    work_threads: int = 2            # host sampler threads (reference name)
+
+    # --- data / paths --------------------------------------------------
+    in_path: str = ""                # dataset dir (entity2id.txt, train2id.txt, ...)
+    out_path: str = ""               # checkpoints + exports
+    batch_number: Optional[int] = None  # incremental mode: train on <in_path>/<n>/,
+                                        # warm-starting from batch n-1's checkpoint
+
+    # --- evaluation / early stopping -----------------------------------
+    test_link_prediction: bool = False
+    test_triple_classification: bool = False
+    valid_every: int = 0             # epochs between validation accuracy checks (0=off)
+    early_stop_patience: int = 5     # checks without improvement before stopping
+    early_stop_min_delta: float = 0.0
+    eval_chunk: int = 64             # test triples scored per eval step
+    eval_block: int = 1024           # candidate entities per scoring block
+    type_constrain: bool = False     # type-constrained eval if type_constrain.txt exists
+
+    # --- execution ------------------------------------------------------
+    seed: int = 0
+    steps_per_scan: int = 50         # train steps fused into one lax.scan host call
+    dtype: str = "float32"           # table dtype
+    eval_dtype: str = "float32"      # scoring dtype at eval ("bfloat16" for speed)
+    use_pallas_eval: bool = True     # blocked Pallas rank kernel when available
+
+    # --- parallelism ----------------------------------------------------
+    mesh_shape: Tuple[int, int] = (1, 1)   # (data, model) mesh axes
+    coordinator: str = ""            # jax.distributed coordinator addr (multi-host)
+    num_processes: int = 1
+    process_id: int = 0
+
+    # --- logging --------------------------------------------------------
+    log_every: int = 1               # epochs between loss prints
+    log_path: str = ""               # jsonl structured log (empty = stdout only)
+
+    def __post_init__(self):
+        if self.model not in ("transe", "transh", "transr", "transd"):
+            raise ValueError(f"unknown model {self.model!r}")
+        if self.opt_method.lower() not in ("sgd", "adam"):
+            raise ValueError(f"unknown opt_method {self.opt_method!r}")
+        if self.p_norm not in (1, 2):
+            raise ValueError("p_norm must be 1 or 2")
+        if self.loss_mode not in ("mean_neg", "pairwise"):
+            raise ValueError(f"unknown loss_mode {self.loss_mode!r}")
+        if self.sampler not in ("device", "host"):
+            raise ValueError(f"unknown sampler {self.sampler!r}")
+
+    @property
+    def d_ent(self) -> int:
+        return self.ent_size if self.ent_size is not None else self.hidden_size
+
+    @property
+    def d_rel(self) -> int:
+        return self.rel_size if self.rel_size is not None else self.hidden_size
+
+    @property
+    def neg_total(self) -> int:
+        return self.negative_ent + self.negative_rel
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def resolve_batch_size(self, train_total: int) -> int:
+        """batch_size from nbatches as the reference does (Config.py:~90)."""
+        if self.batch_size is not None:
+            return self.batch_size
+        return max(1, train_total // self.nbatches)

@@ -1,0 +1,134 @@
+"""Synthetic knowledge-graph generators.
+
+The sandbox has no network, so benchmark-scale datasets (FB15K-237 shapes,
+DBpedia-scale 10M+ triples — BASELINE.md configs) are generated here with
+controlled statistics. ``planted_kg`` additionally plants a ground-truth
+TransE structure so that link-prediction quality (Hits@10/MRR) is a
+meaningful end-to-end signal, standing in for the reference's
+benchmark-protocol acceptance testing (SURVEY.md §4) in the absence of the
+real splits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from openkeonspark_tpu.data.dataset import Dataset
+
+
+def _dedup(triples: np.ndarray) -> np.ndarray:
+    return np.unique(triples, axis=0)
+
+
+def _split(triples: np.ndarray, n_valid: int, n_test: int,
+           rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    perm = rng.permutation(len(triples))
+    triples = triples[perm]
+    test = triples[:n_test]
+    valid = triples[n_test:n_test + n_valid]
+    train = triples[n_test + n_valid:]
+    return train, valid, test
+
+
+def random_kg(n_ent: int = 1000, n_rel: int = 20, n_triples: int = 20000,
+              n_valid: int = 500, n_test: int = 500, seed: int = 0,
+              skew: float = 1.2) -> Dataset:
+    """Uniform-ish random KG with Zipf-skewed entity popularity (so group
+    sizes / bern stats are non-trivial, like real KGs)."""
+    rng = np.random.default_rng(seed)
+    # Zipf-like popularity over entities
+    w = 1.0 / np.arange(1, n_ent + 1, dtype=np.float64) ** skew
+    w /= w.sum()
+    n_draw = int(n_triples * 1.3) + n_valid + n_test
+    h = rng.choice(n_ent, size=n_draw, p=w)
+    t = rng.choice(n_ent, size=n_draw, p=w)
+    r = rng.integers(0, n_rel, size=n_draw)
+    triples = _dedup(np.stack([h, t, r], axis=1).astype(np.int32))
+    triples = triples[rng.permutation(len(triples))][:n_triples + n_valid + n_test]
+    train, valid, test = _split(triples, n_valid, n_test, rng)
+    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid, test=test)
+
+
+def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
+               n_valid: int = 1000, n_test: int = 1000, dim: int = 16,
+               noise: float = 0.05, seed: int = 0) -> Dataset:
+    """KG generated from a hidden TransE model: entities are points in R^dim,
+    each relation is a translation vector; a triple (h, r, t) is emitted when
+    t is among the nearest entities to (e_h + v_r). A trained TransE model
+    should recover high Hits@10 on this data — the end-to-end quality oracle.
+    """
+    rng = np.random.default_rng(seed)
+    ent = rng.normal(size=(n_ent, dim)).astype(np.float32)
+    ent /= np.linalg.norm(ent, axis=1, keepdims=True)
+    rel = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
+
+    triples = []
+    per_pair = 4  # nearest-t candidates per (h, r) draw
+    n_pairs = n_triples // per_pair + 1
+    heads = rng.integers(0, n_ent, size=n_pairs)
+    rels = rng.integers(0, n_rel, size=n_pairs)
+    chunk = 512
+    for s in range(0, n_pairs, chunk):
+        hh, rr = heads[s:s + chunk], rels[s:s + chunk]
+        target = ent[hh] + rel[rr]                      # [c, dim]
+        # L2 nearest entities via the matmul identity
+        d2 = (np.sum(target ** 2, 1, keepdims=True)
+              - 2.0 * target @ ent.T
+              + np.sum(ent ** 2, 1)[None, :])          # [c, nE]
+        nearest = np.argpartition(d2, per_pair, axis=1)[:, :per_pair]
+        for i in range(len(hh)):
+            for t in nearest[i]:
+                triples.append((hh[i], t, rr[i]))
+    triples = np.asarray(triples, dtype=np.int32)
+    if noise > 0:
+        n_noise = int(len(triples) * noise)
+        noise_t = np.stack([
+            rng.integers(0, n_ent, n_noise),
+            rng.integers(0, n_ent, n_noise),
+            rng.integers(0, n_rel, n_noise),
+        ], axis=1).astype(np.int32)
+        triples = np.concatenate([triples, noise_t], axis=0)
+    triples = _dedup(triples)
+    train, valid, test = _split(triples, n_valid, n_test, rng)
+    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid, test=test)
+
+
+def fb15k237_like(seed: int = 0) -> Dataset:
+    """FB15K-237-shaped random KG (14541 entities, 237 relations, ~272k/17.5k/
+    20.5k split) for throughput benchmarking at the real dataset's scale."""
+    return random_kg(n_ent=14541, n_rel=237, n_triples=272115,
+                     n_valid=17535, n_test=20466, seed=seed)
+
+
+def wn18rr_like(seed: int = 0) -> Dataset:
+    """WN18RR-shaped random KG (40943 entities, 11 relations)."""
+    return random_kg(n_ent=40943, n_rel=11, n_triples=86835,
+                     n_valid=3034, n_test=3134, seed=seed)
+
+
+def fb15k_like(seed: int = 0) -> Dataset:
+    """FB15K-shaped random KG (14951 entities, 1345 relations)."""
+    return random_kg(n_ent=14951, n_rel=1345, n_triples=483142,
+                     n_valid=50000, n_test=59071, seed=seed)
+
+
+def dbpedia_like(n_ent: int = 4_000_000, n_rel: int = 600,
+                 n_triples: int = 10_000_000, seed: int = 0) -> Dataset:
+    """DBpedia-scale KG for the edge-partitioned multi-host config
+    (BASELINE.md config #5). Generated in streaming chunks to bound memory."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    remaining = n_triples + 20000
+    chunk = 2_000_000
+    while remaining > 0:
+        k = min(chunk, remaining)
+        h = rng.integers(0, n_ent, size=k, dtype=np.int64)
+        t = rng.integers(0, n_ent, size=k, dtype=np.int64)
+        r = rng.integers(0, n_rel, size=k, dtype=np.int64)
+        parts.append(np.stack([h, t, r], axis=1).astype(np.int32))
+        remaining -= k
+    triples = _dedup(np.concatenate(parts, axis=0))
+    train, valid, test = _split(triples, 10000, 10000, rng)
+    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid, test=test)

@@ -1,0 +1,128 @@
+"""Sparse optimizers: per-step updates touch only the sampled rows.
+
+The reference's updates are TF ``IndexedSlices`` applied on the parameter
+servers — only gathered rows move (SURVEY.md §2.3 "gradient-sparsity
+parallelism"). Here:
+
+- **SGD** (reference default, exact semantics): scatter-add
+  ``table[ids] -= α · g`` — duplicate ids sum, matching dense-math SGD.
+- **lazy Adam**: moment tables m/v updated *only at touched rows*;
+  in-batch duplicate ids are aggregated (summed) first so each touched row
+  gets exactly one read-modify-write; bias correction uses the global step.
+  This is sparse/"lazy" Adam — dense Adam would also decay the moments of
+  untouched rows; the delta vs the reference's TF sparse Adam (which has
+  the same laziness) is documented in DESIGN.md.
+
+Row-id convention: ids in ``[logical_rows, physical_rows)`` address padding
+rows (see ``models/base.py``) and are harmless scatter sinks. Ids **equal to
+``physical_rows``** (one past the end) mean "discard this update" — the
+sharded step (``parallel/``) marks rows owned by other model shards this
+way. Both optimizers implement discards with *collision-safe* masked
+delta-adds (never ``.set``), so clamped invalid lanes are exact no-ops even
+when they collide with a real row's update.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openkeonspark_tpu.config import Config
+
+# updates: table name -> list of (ids [N], row_grads [N, dim])
+Updates = Dict[str, List[Tuple[jax.Array, jax.Array]]]
+
+
+def aggregate_duplicates(ids: jax.Array, grads: jax.Array,
+                         sentinel: int) -> Tuple[jax.Array, jax.Array]:
+    """Sum gradient rows with equal ids. Returns (uids [N], agg [N, d])
+    where slots past the number of unique ids hold ``sentinel`` / zeros —
+    fixed shapes, jit-safe."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    s_ids = ids[order]
+    s_g = grads[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    agg = jax.ops.segment_sum(s_g, seg, num_segments=n)
+    uids = jnp.full((n,), sentinel, dtype=ids.dtype).at[seg].set(s_ids)
+    return uids, agg
+
+
+class SparseSGD:
+    """α-scaled scatter-add; no state (reference ``opt_method='SGD'``)."""
+
+    def __init__(self, cfg: Config):
+        self.lr = cfg.alpha
+
+    def init(self, params):
+        return {}
+
+    def apply(self, params, state, updates: Updates, step):
+        new_params = dict(params)
+        for table, pairs in updates.items():
+            t = new_params[table]
+            rows = t.shape[0]
+            for ids, g in pairs:
+                valid = (ids < rows)[:, None]
+                idc = jnp.minimum(ids, rows - 1)
+                delta = jnp.where(valid, -self.lr * g, 0.0)
+                t = t.at[idc].add(delta.astype(t.dtype))
+            new_params[table] = t
+        return new_params, state
+
+
+class SparseAdam:
+    """Lazy Adam over touched rows (reference ``opt_method='Adam'``)."""
+
+    def __init__(self, cfg: Config):
+        self.lr = cfg.alpha
+        self.b1 = cfg.adam_beta1
+        self.b2 = cfg.adam_beta2
+        self.eps = cfg.adam_eps
+
+    def init(self, params):
+        return {
+            "m": {k: jnp.zeros_like(v) for k, v in params.items()},
+            "v": {k: jnp.zeros_like(v) for k, v in params.items()},
+        }
+
+    def apply(self, params, state, updates: Updates, step):
+        new_params = dict(params)
+        m_state = dict(state["m"])
+        v_state = dict(state["v"])
+        t = (step + 1).astype(jnp.float32)
+        lr_t = self.lr * jnp.sqrt(1.0 - self.b2 ** t) / (1.0 - self.b1 ** t)
+        for table, pairs in updates.items():
+            if len(pairs) == 1:
+                ids, g = pairs[0]
+            else:
+                ids = jnp.concatenate([i for i, _ in pairs])
+                g = jnp.concatenate([gg for _, gg in pairs])
+            rows = params[table].shape[0]
+            # `rows` itself is the discard sentinel (also used by
+            # aggregate_duplicates for empty slots)
+            uids, agg = aggregate_duplicates(ids, g, sentinel=rows)
+            valid = (uids < rows)[:, None]
+            uc = jnp.minimum(uids, rows - 1)
+            m_rows = jnp.take(m_state[table], uc, axis=0)
+            v_rows = jnp.take(v_state[table], uc, axis=0)
+            m_new = self.b1 * m_rows + (1.0 - self.b1) * agg
+            v_new = self.b2 * v_rows + (1.0 - self.b2) * (agg * agg)
+            delta = -lr_t * m_new / (jnp.sqrt(v_new) + self.eps)
+            # collision-safe masked delta-adds: invalid lanes add exact 0
+            m_state[table] = m_state[table].at[uc].add(
+                jnp.where(valid, m_new - m_rows, 0.0))
+            v_state[table] = v_state[table].at[uc].add(
+                jnp.where(valid, v_new - v_rows, 0.0))
+            new_params[table] = new_params[table].at[uc].add(
+                jnp.where(valid, delta, 0.0).astype(params[table].dtype))
+        return new_params, {"m": m_state, "v": v_state}
+
+
+def make_optimizer(cfg: Config):
+    if cfg.opt_method.lower() == "sgd":
+        return SparseSGD(cfg)
+    return SparseAdam(cfg)

@@ -1,0 +1,132 @@
+"""The fused training step: sample → gather → score → loss → sparse update,
+all inside one XLA program, with a ``lax.scan`` wrapper that runs many steps
+per host call.
+
+Replaces the reference's hot loop (SURVEY.md §3.1): C++ ``sampling()`` into
+host buffers + ``sess.run(train_op, feed_dict)`` per step with a gRPC
+round-trip to the parameter servers. Here one jitted call advances
+``steps_per_scan`` steps with zero host involvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openkeonspark_tpu.config import Config
+from openkeonspark_tpu.models.base import KGEModel, init_tables
+from openkeonspark_tpu.sampling.device import DeviceSampler, SampledBatch
+from openkeonspark_tpu.train.loss import margin_ranking_loss
+from openkeonspark_tpu.train.optim import Updates, make_optimizer
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: dict
+    step: jax.Array   # int32 global step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_state(model: KGEModel, cfg: Config, n_ent: int, n_rel: int,
+               key: jax.Array, pad_to_multiple: int = 1) -> TrainState:
+    specs = model.tables(cfg, n_ent, n_rel)
+    params = init_tables(key, specs, dtype=jnp.dtype(cfg.dtype),
+                         pad_to_multiple=pad_to_multiple)
+    opt = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _batch_ids(batch: SampledBatch) -> Tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Flatten positives + negatives into one id stream per anchor, positives
+    first (reference slot layout, ``Model.py`` get_*_instance)."""
+    B = batch.h.shape[0]
+    hs, ts, rs = [batch.h], [batch.t], [batch.r]
+    n_neg = 0
+    if batch.neg_h is not None:
+        k = batch.neg_h.shape[1]
+        # transpose to [k, B] then flatten → slot j + B*(1+i) layout
+        hs.append(batch.neg_h.T.reshape(-1))
+        ts.append(batch.neg_t.T.reshape(-1))
+        rs.append(jnp.tile(batch.r, (k,)))
+        n_neg += k
+    if batch.neg_rel is not None:
+        k = batch.neg_rel.shape[1]
+        hs.append(jnp.tile(batch.h, (k,)))
+        ts.append(jnp.tile(batch.t, (k,)))
+        rs.append(batch.neg_rel.T.reshape(-1))
+        n_neg += k
+    return (jnp.concatenate(hs), jnp.concatenate(ts), jnp.concatenate(rs),
+            n_neg)
+
+
+def slot_loss_and_grads(model: KGEModel, cfg: Config, slots: dict,
+                        B: int, n_neg: int):
+    """Scalar loss + gradients w.r.t. the gathered row bundle ``slots`` —
+    shared by the single-device and sharded (``parallel/``) steps."""
+
+    def loss_fn(slots_):
+        scores = model.score(slots_, cfg)
+        pos = scores[:B]
+        neg = scores[B:].reshape(n_neg, B).T  # [B, n_neg]
+        return margin_ranking_loss(pos, neg, cfg.margin, cfg.loss_mode)
+
+    return jax.value_and_grad(loss_fn)(slots)
+
+
+def loss_and_row_grads(model: KGEModel, cfg: Config, params: dict,
+                       batch: SampledBatch):
+    """Scalar loss + gradients w.r.t. the *gathered rows* (never the dense
+    tables), plus the (table → [(ids, row-grads)]) update list."""
+    h_all, t_all, r_all, n_neg = _batch_ids(batch)
+    B = batch.h.shape[0]
+    ids = {"h": h_all, "t": t_all, "r": r_all}
+    slots = model.gather_slots(params, h_all, t_all, r_all)
+    loss, g_slots = slot_loss_and_grads(model, cfg, slots, B, n_neg)
+    updates: Updates = {}
+    for slot, table, anchor in model.gathers():
+        updates.setdefault(table, []).append((ids[anchor], g_slots[slot]))
+    return loss, updates
+
+
+def build_train_step(model: KGEModel, cfg: Config, sampler: DeviceSampler,
+                     batch_size: int,
+                     partition: Optional[Tuple[jax.Array, jax.Array]] = None
+                     ) -> Callable:
+    """Single-device step fn: (state, key) → (state, loss)."""
+    opt = make_optimizer(cfg)
+
+    def step_fn(state: TrainState, key: jax.Array):
+        batch = sampler.sample(key, batch_size, cfg.negative_ent,
+                               cfg.negative_rel, cfg.bern,
+                               partition=partition)
+        loss, updates = loss_and_row_grads(model, cfg, state.params, batch)
+        params, opt_state = opt.apply(state.params, state.opt_state, updates,
+                                      state.step)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step_fn
+
+
+def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
+    """Fuse ``steps`` train steps into one jitted host call via lax.scan.
+    Returns (state, key) → (state, mean_loss)."""
+
+    @jax.jit
+    def run(state: TrainState, key: jax.Array):
+        keys = jax.random.split(key, steps)
+        state, losses = jax.lax.scan(lambda s, k: step_fn(s, k), state, keys)
+        return state, jnp.mean(losses)
+
+    return run

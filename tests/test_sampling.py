@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openkeonspark_tpu.data.index import build_kg_index
+from openkeonspark_tpu.data.synth import random_kg
+from openkeonspark_tpu.sampling.device import (DeviceSampler,
+                                               batched_upper_bound,
+                                               flatten_reference_layout)
+
+
+@pytest.fixture(scope="module")
+def kg():
+    ds = random_kg(n_ent=120, n_rel=6, n_triples=1500, n_valid=50, n_test=50,
+                   seed=7)
+    idx = build_kg_index(ds)
+    sampler = DeviceSampler.build(ds, idx)
+    return ds, idx, sampler
+
+
+def test_batched_upper_bound_matches_searchsorted():
+    rng = np.random.default_rng(0)
+    windows = [np.sort(rng.choice(100, size=n, replace=False))
+               for n in [0, 1, 3, 17, 40]]
+    arr = np.concatenate([w for w in windows if len(w)]).astype(np.int32)
+    offs, cur = [], 0
+    for w in windows:
+        offs.append(cur)
+        cur += len(w)
+    queries, want, off_q, cnt_q = [], [], [], []
+    for wi, w in enumerate(windows):
+        for x in rng.integers(-5, 105, size=20):
+            queries.append(x)
+            off_q.append(offs[wi])
+            cnt_q.append(len(w))
+            want.append(int(np.searchsorted(w, x, side="right")))
+    got = batched_upper_bound(jnp.asarray(arr),
+                              jnp.asarray(off_q, jnp.int32),
+                              jnp.asarray(cnt_q, jnp.int32),
+                              jnp.asarray(queries, jnp.int32), iters=7)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_negatives_are_filtered(kg):
+    """No corrupted triple may be an existing train triple — the exact-filter
+    guarantee of Corrupt.h, preserved on device."""
+    ds, idx, sampler = kg
+    train_set = {tuple(t) for t in ds.train.tolist()}
+    batch = jax.jit(lambda k: sampler.sample(k, 512, 4, 2, True))(
+        jax.random.key(0))
+    h = np.asarray(batch.h)
+    t = np.asarray(batch.t)
+    r = np.asarray(batch.r)
+    nh, nt = np.asarray(batch.neg_h), np.asarray(batch.neg_t)
+    nr = np.asarray(batch.neg_rel)
+    for i in range(512):
+        assert (h[i], t[i], r[i]) in train_set  # positives from train
+        for j in range(4):
+            assert (nh[i, j], nt[i, j], r[i]) not in train_set
+            assert 0 <= nh[i, j] < ds.n_ent and 0 <= nt[i, j] < ds.n_ent
+            # exactly one slot corrupted (complement sampling can never
+            # return the original entity)
+            assert (nh[i, j] != h[i]) != (nt[i, j] != t[i])
+        # a (h,t) pair linked by EVERY relation has an empty complement —
+        # the sampler then falls back to "any relation but the positive's
+        # own" (collisions with other train triples unavoidable)
+        saturated = len({rr for (hh, tt, rr) in train_set
+                         if hh == h[i] and tt == t[i]}) == ds.n_rel
+        for j in range(2):
+            if not saturated:
+                assert (h[i], t[i], nr[i, j]) not in train_set
+            assert nr[i, j] != r[i]
+            assert 0 <= nr[i, j] < ds.n_rel
+
+
+def test_complement_uniformity(kg):
+    """Corrupted tails for a fixed positive must be ~uniform over the
+    complement of its (h,r) tail set."""
+    ds, idx, sampler = kg
+    # take the train triple with the largest (h,r) group to stress the trick
+    rows = idx.train_row_tables(ds.train)
+    i = int(np.argmax(rows["hr_cnt"]))
+    h0, t0, r0 = ds.train[i]
+    known = set(ds.train[(ds.train[:, 0] == h0) & (ds.train[:, 2] == r0),
+                         1].tolist())
+    complement = np.array(sorted(set(range(ds.n_ent)) - known))
+
+    # force tail corruption by zeroing p_corrupt_head
+    import dataclasses
+    forced = dataclasses.replace(
+        sampler, p_corrupt_head=jnp.zeros_like(sampler.p_corrupt_head))
+    n_draw, counts = 20000, {}
+    part = (jnp.int32(i), jnp.int32(1))  # only draw positive i
+    batch = jax.jit(lambda k: forced.sample(k, n_draw, 1, 0, True,
+                                            partition=part))(
+        jax.random.key(1))
+    nt = np.asarray(batch.neg_t)[:, 0]
+    assert set(np.unique(nt)).issubset(set(complement.tolist()))
+    freq = np.bincount(nt, minlength=ds.n_ent)[complement]
+    expected = n_draw / len(complement)
+    # loose chi-square-style bound: all complement entities hit, no 5x skew
+    assert freq.min() > 0
+    assert freq.max() < 5 * expected
+
+
+def test_bern_head_tail_ratio(kg):
+    """Fraction of head-corruptions per relation ≈ tph/(tph+hpt)."""
+    ds, idx, sampler = kg
+    batch = jax.jit(lambda k: sampler.sample(k, 40000, 1, 0, True))(
+        jax.random.key(2))
+    h = np.asarray(batch.h)
+    r = np.asarray(batch.r)
+    head_corrupted = np.asarray(batch.neg_h)[:, 0] != h
+    p = idx.p_corrupt_head
+    for rel in range(ds.n_rel):
+        m = r == rel
+        if m.sum() < 500:
+            continue
+        frac = head_corrupted[m].mean()
+        assert abs(frac - p[rel]) < 0.08, (rel, frac, p[rel])
+
+
+def test_partition_restricts_positives(kg):
+    ds, idx, sampler = kg
+    part = (jnp.int32(100), jnp.int32(50))
+    batch = jax.jit(lambda k: sampler.sample(k, 256, 1, 0, False,
+                                             partition=part))(
+        jax.random.key(3))
+    htr = np.stack([np.asarray(batch.h), np.asarray(batch.t),
+                    np.asarray(batch.r)], 1)
+    allowed = {tuple(t) for t in ds.train[100:150].tolist()}
+    for row in htr.tolist():
+        assert tuple(row) in allowed
+
+
+def test_reference_layout(kg):
+    ds, idx, sampler = kg
+    batch = sampler.sample(jax.random.key(4), 64, 2, 1, True)
+    flat = flatten_reference_layout(batch)
+    B, n_neg = 64, 3
+    assert flat["batch_h"].shape == (B * (1 + n_neg),)
+    np.testing.assert_array_equal(np.asarray(flat["batch_y"][:B]), 1.0)
+    np.testing.assert_array_equal(np.asarray(flat["batch_y"][B:]), -1.0)
+    # slot j + B*(1+k) pairs with positive j
+    nh = np.asarray(batch.neg_h)
+    got = np.asarray(flat["batch_h"][B:2 * B])
+    np.testing.assert_array_equal(got, nh[:, 0])
