@@ -46,6 +46,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--negative_ent", type=int, default=1)
     p.add_argument("--negative_rel", type=int, default=0)
     p.add_argument("--bern", type=int, default=1, choices=[0, 1])
+    p.add_argument("--sampler", default="device", choices=["device", "host"],
+                   help="device = on-TPU sampling fused into the step; "
+                        "host = C++ threaded sampler + prefetch pipeline")
+    p.add_argument("--work_threads", type=int, default=2,
+                   help="host sampler threads (reference flag name)")
     # eval / early stopping
     p.add_argument("--test_link_prediction", action="store_true")
     p.add_argument("--test_triple_classification", action="store_true")
@@ -85,7 +90,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         train_times=args.train_times, nbatches=args.nbatches,
         batch_size=args.batch_size, loss_mode=args.loss_mode,
         negative_ent=args.negative_ent, negative_rel=args.negative_rel,
-        bern=bool(args.bern), in_path=args.in_path, out_path=args.out_path,
+        bern=bool(args.bern), sampler=args.sampler,
+        work_threads=args.work_threads,
+        in_path=args.in_path, out_path=args.out_path,
         batch_number=args.batch_number,
         test_link_prediction=args.test_link_prediction,
         test_triple_classification=args.test_triple_classification,

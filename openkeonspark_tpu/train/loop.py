@@ -99,19 +99,29 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
     model = get_model(cfg.model)
     if index is None:
         index = build_kg_index(ds, for_eval=False)
-    sampler = DeviceSampler.build(ds, index)
     batch_size = cfg.resolve_batch_size(ds.n_train)
 
     if state is None:
         state = init_state(model, cfg, ds.n_ent, ds.n_rel,
                            jax.random.key(cfg.seed))
 
-    build = step_builder or build_train_step
-    step_fn = build(model, cfg, sampler, batch_size)
-    sps = max(1, min(cfg.steps_per_scan, cfg.nbatches))
-    n_full, rem = divmod(cfg.nbatches, sps)
-    run_full = build_scan_steps(step_fn, sps)
-    run_rem = build_scan_steps(step_fn, rem) if rem else None
+    host_pipe = None
+    if cfg.sampler == "host":
+        # C++ host sampler + prefetch pipeline (sampling/host.py)
+        from openkeonspark_tpu.sampling.host import HostPipeline, HostSampler
+        from openkeonspark_tpu.train.step import build_host_batch_step
+        host = HostSampler(ds, index, n_threads=cfg.work_threads)
+        host_pipe = HostPipeline(host, batch_size, cfg.negative_ent,
+                                 cfg.negative_rel, cfg.bern, seed=cfg.seed)
+        host_step = build_host_batch_step(model, cfg)
+    else:
+        sampler = DeviceSampler.build(ds, index)
+        build = step_builder or build_train_step
+        step_fn = build(model, cfg, sampler, batch_size)
+        sps = max(1, min(cfg.steps_per_scan, cfg.nbatches))
+        n_full, rem = divmod(cfg.nbatches, sps)
+        run_full = build_scan_steps(step_fn, sps)
+        run_rem = build_scan_steps(step_fn, rem) if rem else None
 
     if cfg.valid_every and valid_fn is None and ds.valid is not None \
             and len(ds.valid):
@@ -137,14 +147,19 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
         for epoch in range(cfg.train_times):
             t0 = time.perf_counter()
             losses = []
-            for _ in range(n_full):
-                key, sub = jax.random.split(key)
-                state, loss = run_full(state, sub)
-                losses.append(loss)
-            if run_rem is not None:
-                key, sub = jax.random.split(key)
-                state, loss = run_rem(state, sub)
-                losses.append(loss)
+            if host_pipe is not None:
+                for _ in range(cfg.nbatches):
+                    state, loss = host_step(state, host_pipe.next())
+                    losses.append(loss)
+            else:
+                for _ in range(n_full):
+                    key, sub = jax.random.split(key)
+                    state, loss = run_full(state, sub)
+                    losses.append(loss)
+                if run_rem is not None:
+                    key, sub = jax.random.split(key)
+                    state, loss = run_rem(state, sub)
+                    losses.append(loss)
             jax.block_until_ready(state.params)
             dt = time.perf_counter() - t0
             mean_loss = float(np.mean([float(l) for l in losses]))
@@ -191,4 +206,6 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
                              "loss": result.final_loss})
     finally:
         log.close()
+        if host_pipe is not None:
+            host_pipe.close()
     return result

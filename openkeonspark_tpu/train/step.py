@@ -119,6 +119,21 @@ def build_train_step(model: KGEModel, cfg: Config, sampler: DeviceSampler,
     return step_fn
 
 
+def build_host_batch_step(model: KGEModel, cfg: Config) -> Callable:
+    """Step fn fed by externally sampled batches (the C++ host sampler's
+    pipeline, ``sampling/host.py``): (state, batch) → (state, loss)."""
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step_fn(state: TrainState, batch: SampledBatch):
+        loss, updates = loss_and_row_grads(model, cfg, state.params, batch)
+        params, opt_state = opt.apply(state.params, state.opt_state, updates,
+                                      state.step)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step_fn
+
+
 def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
     """Fuse ``steps`` train steps into one jitted host call via lax.scan.
     Returns (state, key) → (state, mean_loss)."""

@@ -1,0 +1,154 @@
+"""Native C++ host sampler: filter exactness, bern statistics, determinism,
+layout parity with the device sampler, threading disjointness."""
+
+import numpy as np
+import pytest
+
+from openkeonspark_tpu.data.index import build_kg_index
+from openkeonspark_tpu.data.synth import random_kg
+
+pytest.importorskip("ctypes")
+from openkeonspark_tpu.sampling.host import HostPipeline, HostSampler
+
+if not HostSampler.available():  # pragma: no cover
+    pytest.skip("native sampler unavailable (no g++)", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def kg():
+    ds = random_kg(n_ent=150, n_rel=7, n_triples=2000, n_valid=50, n_test=50,
+                   seed=13)
+    idx = build_kg_index(ds, for_eval=False)
+    return ds, idx, HostSampler(ds, idx, n_threads=4)
+
+
+def test_flat_layout_and_filtering(kg):
+    ds, idx, hs = kg
+    B, nE, nR = 256, 3, 2
+    out = hs.sample_flat(seed=1, batch_size=B, negative_ent=nE,
+                         negative_rel=nR, bern=True)
+    n = B * (1 + nE + nR)
+    assert out["batch_h"].shape == (n,)
+    np.testing.assert_array_equal(out["batch_y"][:B], 1.0)
+    np.testing.assert_array_equal(out["batch_y"][B:], -1.0)
+
+    train_set = {tuple(x) for x in ds.train.tolist()}
+    h, t, r = out["batch_h"], out["batch_t"], out["batch_r"]
+    for j in range(B):
+        assert (h[j], t[j], r[j]) in train_set
+        for k in range(nE):
+            o = j + B * (1 + k)
+            assert (h[o], t[o], r[o]) not in train_set
+            assert r[o] == r[j]
+            # exactly one entity slot corrupted
+            assert (h[o] != h[j]) != (t[o] != t[j])
+        for k in range(nR):
+            o = j + B * (1 + nE + k)
+            assert h[o] == h[j] and t[o] == t[j]
+            assert r[o] != r[j]
+            assert 0 <= r[o] < ds.n_rel
+
+
+def test_determinism_same_seed(kg):
+    ds, idx, hs = kg
+    a = hs.sample_flat(7, 128, 2, 1, True)
+    b = hs.sample_flat(7, 128, 2, 1, True)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    c = hs.sample_flat(8, 128, 2, 1, True)
+    assert any((a[k] != c[k]).any() for k in ("batch_h", "batch_t"))
+
+
+def test_partition_restricts_positives(kg):
+    ds, idx, hs = kg
+    out = hs.sample_flat(3, 200, 1, 0, False, partition=(100, 50))
+    pos = set(zip(out["batch_h"][:200].tolist(), out["batch_t"][:200].tolist(),
+                  out["batch_r"][:200].tolist()))
+    allowed = {tuple(x) for x in ds.train[100:150].tolist()}
+    assert pos <= allowed
+
+
+def test_bern_ratio(kg):
+    ds, idx, hs = kg
+    B = 40000
+    out = hs.sample_flat(5, B, 1, 0, True)
+    h, r = out["batch_h"], out["batch_r"]
+    head_corrupted = out["batch_h"][B:] != h[:B]
+    p = idx.p_corrupt_head
+    for rel in range(ds.n_rel):
+        m = r[:B] == rel
+        if m.sum() < 500:
+            continue
+        frac = head_corrupted[m].mean()
+        assert abs(frac - p[rel]) < 0.08, (rel, frac, p[rel])
+
+
+def test_complement_uniformity(kg):
+    """Corrupted tails uniform over the complement (same contract as the
+    device sampler)."""
+    ds, idx, hs = kg
+    rows = idx.train_row_tables(ds.train)
+    i = int(np.argmax(rows["hr_cnt"]))
+    h0, t0, r0 = ds.train[i]
+    known = set(ds.train[(ds.train[:, 0] == h0) & (ds.train[:, 2] == r0),
+                         1].tolist())
+    complement = sorted(set(range(ds.n_ent)) - known)
+    n = 20000
+    out = hs.sample_flat(11, n, 1, 0, False, partition=(i, 1))
+    # keep only tail-corrupted draws
+    nh, nt = out["batch_h"][n:], out["batch_t"][n:]
+    tails = nt[nh == h0]
+    assert len(tails) > n // 3
+    assert set(np.unique(tails)).issubset(set(complement))
+    freq = np.bincount(tails, minlength=ds.n_ent)[complement]
+    assert freq.min() > 0
+    assert freq.max() < 5 * len(tails) / len(complement)
+
+
+def test_structured_matches_flat(kg):
+    ds, idx, hs = kg
+    B, nE, nR = 64, 2, 1
+    flat = hs.sample_flat(21, B, nE, nR, True)
+    sb = hs.sample(21, B, nE, nR, True)
+    np.testing.assert_array_equal(sb.h, flat["batch_h"][:B])
+    for k in range(nE):
+        np.testing.assert_array_equal(sb.neg_h[:, k],
+                                      flat["batch_h"][B * (1 + k):B * (2 + k)])
+    np.testing.assert_array_equal(sb.neg_rel[:, 0],
+                                  flat["batch_r"][B * (1 + nE):])
+
+
+def test_host_batch_trains(kg):
+    """Host batches drive the same train step as device batches."""
+    import jax
+    import jax.numpy as jnp
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.models import get_model
+    from openkeonspark_tpu.train.optim import make_optimizer
+    from openkeonspark_tpu.train.step import init_state, loss_and_row_grads
+
+    ds, idx, hs = kg
+    cfg = Config(model="transe", hidden_size=8, alpha=0.05, negative_ent=2)
+    model = get_model(cfg.model)
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0))
+    opt = make_optimizer(cfg)
+
+    batch = hs.sample(1, 32, cfg.negative_ent, 0, True)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    loss1, ups = loss_and_row_grads(model, cfg, state.params, batch)
+    params, _ = opt.apply(state.params, state.opt_state, ups, state.step)
+    loss2, _ = loss_and_row_grads(model, cfg, params, batch)
+    assert float(loss2) < float(loss1)
+
+
+def test_pipeline_prefetch(kg):
+    ds, idx, hs = kg
+    pipe = HostPipeline(hs, batch_size=16, negative_ent=1, negative_rel=0,
+                        bern=True, seed=0, depth=2)
+    try:
+        b1 = pipe.next()
+        b2 = pipe.next()
+        assert b1.h.shape == (16,)
+        assert (np.asarray(b1.h) != np.asarray(b2.h)).any()
+    finally:
+        pipe.close()
