@@ -188,19 +188,55 @@ def _rank_chunk(params, h, t, r, gold, known, model_name: str, replace: str,
     return raw_better, raw_better - known_better
 
 
+@partial(jax.jit, static_argnames=("replace", "block", "n_ent", "p",
+                                   "interpret"))
+def _rank_chunk_transe_kernel(params, table_t, h, t, r, gold, known,
+                              replace: str, block: int, n_ent: int, p: int,
+                              interpret: bool):
+    """TransE fast path: the Pallas fused score+count kernel
+    (ops/pallas_rank.py) — ONE pass over the entity table instead of the
+    generic path's two, nothing materialized. Gold and known-true scores
+    go through arithmetic mirroring the kernel's d-chunked accumulation,
+    and the gold id is masked inside the kernel, so ranks are tie-exact."""
+    from openkeonspark_tpu.ops.pallas_rank import (count_better_transe,
+                                                   transe_candidate_scores,
+                                                   transe_queries)
+    q, sign = transe_queries(params, h, t, r, replace)
+    gold_s = transe_candidate_scores(q, params, gold, sign, p)
+    raw = count_better_transe(q, table_t, gold_s, gold, sign=sign, p=p,
+                              n_ent=n_ent, block=block, interpret=interpret)
+    rows = params["ent_embeddings"].shape[0]
+    kn = jnp.minimum(known, jnp.int32(rows - 1))
+    ks = transe_candidate_scores(q, params, kn, sign, p)
+    kvalid = (known < n_ent) & (known != gold[:, None])
+    known_better = jnp.sum((ks < gold_s[:, None]) & kvalid,
+                           axis=1).astype(jnp.int32)
+    return raw, raw - known_better
+
+
+def _use_pallas(cfg: Config) -> bool:
+    import os
+    if not (cfg.use_pallas_eval and cfg.model == "transe"):
+        return False
+    if jax.default_backend() == "cpu":
+        return os.environ.get("OKST_PALLAS_INTERPRET") == "1"
+    return True
+
+
 def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
                   k_max: int, pad: int) -> np.ndarray:
-    """[C, k_max] known-value ids for anchor pairs, padded with ``pad``."""
+    """[C, k_max] known-value ids for anchor pairs, padded with ``pad``
+    (vectorized gather from the flat group array)."""
     C = len(a)
-    out = np.full((C, k_max), pad, dtype=np.int32)
-    if gi is None:
-        return out
+    if gi is None or len(gi.sorted_vals) == 0:
+        return np.full((C, k_max), pad, dtype=np.int32)
     off, cnt = gi.lookup(a, b)
-    for i in range(C):
-        c = int(cnt[i])
-        if c:
-            o = int(off[i])
-            out[i, :c] = gi.sorted_vals[o:o + c]
+    lane = np.arange(k_max, dtype=np.int64)[None, :]
+    valid = lane < cnt[:, None].astype(np.int64)
+    src = np.minimum(off[:, None].astype(np.int64) + lane,
+                     len(gi.sorted_vals) - 1)
+    out = gi.sorted_vals[src].astype(np.int32)
+    out[~valid] = pad
     return out
 
 
@@ -221,8 +257,15 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
     model = get_model(cfg.model)
     block = cfg.eval_block
     chunk = cfg.eval_chunk
-    params_pad, nblocks = _pad_entity_tables(model, params, cfg, ds.n_ent,
-                                             ds.n_rel, block)
+    pallas = _use_pallas(cfg)
+    if pallas:
+        from openkeonspark_tpu.ops.pallas_rank import prepare_table
+        kblock = max(block, 512)
+        table_t = prepare_table(params["ent_embeddings"], block=kblock)
+        interpret = jax.default_backend() == "cpu"
+    else:
+        params_pad, nblocks = _pad_entity_tables(model, params, cfg,
+                                                 ds.n_ent, ds.n_rel, block)
 
     h_all, t_all, r_all = triples[:, H], triples[:, T], triples[:, R]
     n = len(triples)
@@ -248,14 +291,26 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
         kh = _known_matrix(index.tr_all, tq, rq, k_max, ds.n_ent)
         hq, tq, rq = jnp.asarray(hq), jnp.asarray(tq), jnp.asarray(rq)
 
-        raw_t, filt_t = _rank_chunk(params_pad, hq, tq, rq, tq,
-                                    jnp.asarray(kt), model_name=cfg.model,
-                                    replace="tail", block=block,
-                                    nblocks=nblocks, n_ent=ds.n_ent, cfg=cfg)
-        raw_h, filt_h = _rank_chunk(params_pad, hq, tq, rq, hq,
-                                    jnp.asarray(kh), model_name=cfg.model,
-                                    replace="head", block=block,
-                                    nblocks=nblocks, n_ent=ds.n_ent, cfg=cfg)
+        if pallas:
+            raw_t, filt_t = _rank_chunk_transe_kernel(
+                params, table_t, hq, tq, rq, tq, jnp.asarray(kt),
+                replace="tail", block=kblock, n_ent=ds.n_ent,
+                p=cfg.p_norm, interpret=interpret)
+            raw_h, filt_h = _rank_chunk_transe_kernel(
+                params, table_t, hq, tq, rq, hq, jnp.asarray(kh),
+                replace="head", block=kblock, n_ent=ds.n_ent,
+                p=cfg.p_norm, interpret=interpret)
+        else:
+            raw_t, filt_t = _rank_chunk(params_pad, hq, tq, rq, tq,
+                                        jnp.asarray(kt), model_name=cfg.model,
+                                        replace="tail", block=block,
+                                        nblocks=nblocks, n_ent=ds.n_ent,
+                                        cfg=cfg)
+            raw_h, filt_h = _rank_chunk(params_pad, hq, tq, rq, hq,
+                                        jnp.asarray(kh), model_name=cfg.model,
+                                        replace="head", block=block,
+                                        nblocks=nblocks, n_ent=ds.n_ent,
+                                        cfg=cfg)
         m = e - s
         ranks["raw_tail"][sl] = np.asarray(raw_t)[:m]
         ranks["filt_tail"][sl] = np.asarray(filt_t)[:m]
