@@ -61,6 +61,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_chunk", type=int, default=64)
     p.add_argument("--eval_block", type=int, default=1024)
     p.add_argument("--eval_dtype", default="float32")
+    p.add_argument("--type_constrain", action="store_true",
+                   help="also report type-constrained link prediction "
+                        "(needs type_constrain.txt in the dataset dir)")
     # execution
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_scan", type=int, default=50)
@@ -100,7 +103,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         early_stop_patience=args.early_stop_patience,
         early_stop_min_delta=args.early_stop_min_delta,
         eval_chunk=args.eval_chunk, eval_block=args.eval_block,
-        eval_dtype=args.eval_dtype, seed=args.seed,
+        eval_dtype=args.eval_dtype, type_constrain=args.type_constrain,
+        seed=args.seed,
         steps_per_scan=args.steps_per_scan, log_every=args.log_every,
         log_path=args.log_path,
         mesh_shape=(args.mesh_data, args.mesh_model),

@@ -51,6 +51,18 @@ def main(argv=None):
         from openkeonspark_tpu.eval import link_prediction
         res = link_prediction(state.params, cfg, ds, index)
         print(res.format_table())
+        if cfg.type_constrain:
+            from openkeonspark_tpu.data.type_constrain import maybe_load
+            tc = maybe_load(cfg.in_path)
+            if tc is None:
+                print("type_constrain.txt not found in dataset dir")
+            else:
+                from openkeonspark_tpu.eval import (
+                    type_constrained_link_prediction)
+                rc = type_constrained_link_prediction(state.params, cfg, ds,
+                                                      index, tc)
+                print("type-constrained:")
+                print(rc.format_table())
     if args.triple_classification:
         from openkeonspark_tpu.eval import triple_classification
         print("triple classification:",

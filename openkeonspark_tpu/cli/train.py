@@ -111,6 +111,23 @@ def run(cfg: Config, echo=print) -> dict:
             "filtered_hits10": res.filt_avg.hits10,
             "raw_mrr": res.raw_avg.mrr,
         }
+        if cfg.type_constrain:
+            from openkeonspark_tpu.data.type_constrain import maybe_load
+            tc = maybe_load(data_dir)
+            if tc is None:
+                echo("type_constrain.txt not found; skipping constrained "
+                     "eval (generate with tools/gen_type_constrain.py)")
+            else:
+                from openkeonspark_tpu.eval import (
+                    type_constrained_link_prediction)
+                rc = type_constrained_link_prediction(state.params, cfg, ds,
+                                                      index, tc, log=echo)
+                echo("type-constrained:")
+                echo(rc.format_table())
+                summary["type_constrained"] = {
+                    "filtered_mrr": rc.filt_avg.mrr,
+                    "filtered_hits10": rc.filt_avg.hits10,
+                }
     if cfg.test_triple_classification and ds.n_valid and ds.n_test:
         from openkeonspark_tpu.eval import triple_classification
         out = triple_classification(state.params, cfg, ds, index)

@@ -88,6 +88,32 @@ def test_data_sharding_trains_and_stays_synced(kg):
             per_dev[tuple(s.index[0].indices(ent.shape[0]))])
 
 
+@pytest.mark.parametrize("model_name", ["transe", "transd"])
+def test_sharded_eval_matches_single_device(kg, model_name):
+    """Candidate axis over 'model', queries over 'data': ranks must equal
+    the single-device evaluator exactly."""
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.eval import link_prediction
+    from openkeonspark_tpu.parallel.eval import sharded_link_prediction
+
+    ds, _ = kg
+    idx = build_kg_index(ds, for_eval=True)
+    cfg = Config(model=model_name, hidden_size=16, eval_chunk=8,
+                 eval_block=32, use_pallas_eval=False)
+    model = get_model(model_name)
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(8),
+                       pad_to_multiple=4)
+    mesh = make_mesh((2, 4))
+    sh = shard_state(state, mesh)
+    res1 = link_prediction(state.params, cfg, ds, idx,
+                           triples=ds.test[:24])
+    res2 = sharded_link_prediction(sh.params, cfg, ds, idx, mesh,
+                                   triples=ds.test[:24])
+    for k in res1.ranks:
+        np.testing.assert_array_equal(res1.ranks[k], res2.ranks[k],
+                                      err_msg=f"{model_name}/{k}")
+
+
 def test_data_sharding_gradient_sum_semantics(kg):
     """D=2, deterministic check: the sharded step's update must equal the
     single-device update on the union of the two shard batches (gradient
