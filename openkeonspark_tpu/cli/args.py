@@ -69,6 +69,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--steps_per_scan", type=int, default=50)
     p.add_argument("--log_every", type=int, default=1)
     p.add_argument("--log_path", default="")
+    p.add_argument("--trace_dir", default="",
+                   help="write a jax.profiler device trace of epoch 1")
     p.add_argument("--export_format", default="json",
                    choices=["json", "npz"],
                    help="embedding export format (json = reference "
@@ -106,7 +108,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         eval_dtype=args.eval_dtype, type_constrain=args.type_constrain,
         seed=args.seed,
         steps_per_scan=args.steps_per_scan, log_every=args.log_every,
-        log_path=args.log_path,
+        log_path=args.log_path, trace_dir=args.trace_dir,
         mesh_shape=(args.mesh_data, args.mesh_model),
         coordinator=args.coordinator, num_processes=args.num_processes,
         process_id=args.process_id,

@@ -103,8 +103,14 @@ def run(cfg: Config, echo=print) -> dict:
                "steps": int(state.step)}
 
     if cfg.test_link_prediction and ds.n_test:
-        from openkeonspark_tpu.eval import link_prediction
-        res = link_prediction(state.params, cfg, ds, index, log=echo)
+        if use_mesh:
+            from openkeonspark_tpu.parallel.eval import (
+                sharded_link_prediction)
+            res = sharded_link_prediction(state.params, cfg, ds, index,
+                                          mesh, log=echo)
+        else:
+            from openkeonspark_tpu.eval import link_prediction
+            res = link_prediction(state.params, cfg, ds, index, log=echo)
         echo(res.format_table())
         summary["link_prediction"] = {
             "filtered_mrr": res.filt_avg.mrr,

@@ -145,6 +145,11 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
 
     try:
         for epoch in range(cfg.train_times):
+            # profiling subsystem (SURVEY.md §5 "Tracing"): capture a
+            # device trace of the SECOND epoch (first is compile-skewed)
+            tracing = bool(cfg.trace_dir) and epoch == 1
+            if tracing:
+                jax.profiler.start_trace(cfg.trace_dir)
             t0 = time.perf_counter()
             losses = []
             if host_pipe is not None:
@@ -161,6 +166,9 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
                     state, loss = run_rem(state, sub)
                     losses.append(loss)
             jax.block_until_ready(state.params)
+            if tracing:
+                jax.profiler.stop_trace()
+                log({"event": "trace_written", "dir": cfg.trace_dir})
             dt = time.perf_counter() - t0
             mean_loss = float(np.mean([float(l) for l in losses]))
             tps = cfg.nbatches * batch_size / dt

@@ -65,12 +65,16 @@ class SparseSGD:
         for table, pairs in updates.items():
             t = new_params[table]
             rows = t.shape[0]
-            for ids, g in pairs:
-                valid = (ids < rows)[:, None]
-                idc = jnp.minimum(ids, rows - 1)
-                delta = jnp.where(valid, -self.lr * g, 0.0)
-                t = t.at[idc].add(delta.astype(t.dtype))
-            new_params[table] = t
+            # one fused scatter-add per table (not one per id-stream)
+            if len(pairs) == 1:
+                ids, g = pairs[0]
+            else:
+                ids = jnp.concatenate([i for i, _ in pairs])
+                g = jnp.concatenate([gg for _, gg in pairs])
+            valid = (ids < rows)[:, None]
+            idc = jnp.minimum(ids, rows - 1)
+            delta = jnp.where(valid, -self.lr * g, 0.0)
+            new_params[table] = t.at[idc].add(delta.astype(t.dtype))
         return new_params, state
 
 

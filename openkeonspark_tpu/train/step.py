@@ -11,6 +11,7 @@ round-trip to the parameter servers. Here one jitted call advances
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -138,7 +139,7 @@ def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
     """Fuse ``steps`` train steps into one jitted host call via lax.scan.
     Returns (state, key) → (state, mean_loss)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, key: jax.Array):
         keys = jax.random.split(key, steps)
         state, losses = jax.lax.scan(lambda s, k: step_fn(s, k), state, keys)

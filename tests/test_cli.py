@@ -1,0 +1,72 @@
+"""CLI end-to-end: argparse parity, single-device and mesh runs through
+``cli.train.run``, evaluate from checkpoint."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from openkeonspark_tpu.cli.args import build_parser, config_from_args
+from openkeonspark_tpu.data.dataset import save_dataset
+from openkeonspark_tpu.data.synth import random_kg
+
+
+def make_args(tmp_path, *extra):
+    ds = random_kg(n_ent=100, n_rel=5, n_triples=900, n_valid=50, n_test=40,
+                   seed=4)
+    save_dataset(ds, str(tmp_path / "kg"))
+    argv = ["--input", str(tmp_path / "kg"), "--output",
+            str(tmp_path / "out"), "--model", "transe", "--hidden_size",
+            "16", "--alpha", "0.05", "--train_times", "2", "--nbatches",
+            "8", "--negative_ent", "2", "--eval_chunk", "8",
+            "--eval_block", "32", *extra]
+    args = build_parser("t").parse_args(argv)
+    cfg = config_from_args(args)
+    object.__setattr__(cfg, "export_format", args.export_format)
+    return ds, cfg
+
+
+def test_config_from_args_reference_flags(tmp_path):
+    _, cfg = make_args(tmp_path, "--bern", "0", "--opt_method", "adam",
+                       "--margin", "4.5", "--work_threads", "7",
+                       "--sampler", "host")
+    assert not cfg.bern and cfg.opt_method == "adam"
+    assert cfg.margin == 4.5 and cfg.work_threads == 7
+    assert cfg.sampler == "host"
+
+
+def test_cli_train_run_single(tmp_path):
+    from openkeonspark_tpu.cli.train import run
+    ds, cfg = make_args(tmp_path, "--test_link_prediction",
+                        "--test_triple_classification", "--valid_every", "1")
+    out = run(cfg, echo=lambda *_: None)
+    assert "link_prediction" in out and "triple_classification" in out
+    assert os.path.exists(str(tmp_path / "out" / "embedding.vec.json"))
+    with open(str(tmp_path / "out" / "embedding.vec.json")) as f:
+        exp = json.load(f)
+    assert np.asarray(exp["ent_embeddings"]).shape == (ds.n_ent, 16)
+
+
+def test_cli_train_run_mesh(tmp_path):
+    from openkeonspark_tpu.cli.train import run
+    _, cfg = make_args(tmp_path, "--mesh_data", "4", "--mesh_model", "2",
+                       "--test_link_prediction")
+    out = run(cfg, echo=lambda *_: None)
+    assert out["steps"] == 16
+    assert 0.0 <= out["link_prediction"]["filtered_mrr"] <= 1.0
+
+
+def test_cli_evaluate_from_checkpoint(tmp_path, capsys):
+    from openkeonspark_tpu.cli.evaluate import main as eval_main
+    from openkeonspark_tpu.cli.train import run
+    _, cfg = make_args(tmp_path)
+    run(cfg, echo=lambda *_: None)
+    eval_main(["--input", str(tmp_path / "kg"), "--checkpoint",
+               str(tmp_path / "out"), "--model", "transe", "--hidden_size",
+               "16", "--eval_chunk", "8", "--eval_block", "32",
+               "--link_prediction", "--predict_tail", "3,1", "--topk", "4"])
+    out = capsys.readouterr().out
+    assert "restored step" in out
+    assert "averaged(filter)" in out
+    assert "top-4 tails" in out
