@@ -83,7 +83,7 @@ def cpu_baseline_tps(ds, batch_size, cache="bench_baseline_cpu.json"):
     return tps
 
 
-def tpu_tps(ds, cfg, batch_size, steps_per_scan=50, repeats=4):
+def tpu_tps(ds, cfg, batch_size, steps_per_scan=200, repeats=5):
     import jax
     from openkeonspark_tpu.data.index import build_kg_index
     from openkeonspark_tpu.models import get_model
@@ -100,14 +100,19 @@ def tpu_tps(ds, cfg, batch_size, steps_per_scan=50, repeats=4):
     run = build_scan_steps(step, steps_per_scan)
 
     key = jax.random.key(1)
-    state, _ = run(state, key)  # compile + warmup
-    jax.block_until_ready(state.params)
+    state, loss = run(state, sampler, key)  # compile + warmup
+    float(loss)
     best = 0.0
     for i in range(repeats):
         key = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        state, _ = run(state, key)
-        jax.block_until_ready(state.params)
+        state, loss = run(state, sampler, key)
+        # pull a scalar that data-depends on the whole scan: the ONLY
+        # honest sync point on remote-attached TPUs, where
+        # block_until_ready on donated (input-aliased) outputs returns
+        # before execution finishes and under-reports by orders of
+        # magnitude (measured)
+        float(loss)
         dt = time.perf_counter() - t0
         best = max(best, steps_per_scan * batch_size / dt)
     return best

@@ -66,11 +66,14 @@ def _sampler_specs(sampler: DeviceSampler):
 def build_sharded_train_step(model: KGEModel, cfg: Config,
                              sampler: DeviceSampler, batch_size: int,
                              mesh: Mesh) -> Callable:
-    """(state, key) → (state, loss): one synchronous global step.
+    """(state, sampler, key) → (state, loss): one synchronous global step.
 
     ``batch_size`` is the **global** batch; each data shard draws
     ``batch_size // data_axis`` positives. Requires table rows padded to a
-    multiple of the model axis (``init_state(..., pad_to_multiple=M)``)."""
+    multiple of the model axis (``init_state(..., pad_to_multiple=M)``).
+    The sampler is a runtime argument, never a closure — closure arrays
+    embed the triple store as executable constants (see
+    ``train.step.build_train_step``)."""
     D = mesh.shape[DATA]
     M = mesh.shape[MODEL]
     B_local = max(1, batch_size // D)
@@ -135,8 +138,8 @@ def build_sharded_train_step(model: KGEModel, cfg: Config,
         check_vma=False,
     )
 
-    def step_fn(state: TrainState, key: jax.Array):
-        return mapped(state, sampler, key)
+    def step_fn(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
+        return mapped(state, sampler_, key)
 
     return step_fn
 

@@ -19,6 +19,12 @@ here as a *batched bitwise binary search*: a ``fori_loop`` of
 data-dependent control flow, identical cost for every lane (XLA-friendly,
 no warp-divergence analog).
 
+Every 1-D array the sampler touches is stored in the ``Packed1D``
+row-gather layout (``ops/gather.py``): XLA's scalar 1-D gather path on TPU
+costs ~31 µs per op (it dominated the whole train step — ~0.86 ms/step of
+sampling at FB15K-237 shapes); the packed row-gather+lane-select form is
+~3 µs per op, making sampling a rounding error next to the model math.
+
 Randomness: ``jax.random`` threefry bits with modulo range reduction —
 the same reduction the reference's per-thread LCG uses
 (``Random.h::rand_max`` = ``rand() % x``), so the (negligible) modulo bias
@@ -28,7 +34,7 @@ is parity rather than a regression.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +42,7 @@ import numpy as np
 
 from openkeonspark_tpu.data.dataset import Dataset
 from openkeonspark_tpu.data.index import KGIndex
+from openkeonspark_tpu.ops.gather import Packed1D, PackedRecords
 
 
 def _ceil_log2(n: int) -> int:
@@ -43,34 +50,63 @@ def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
-def batched_upper_bound(arr: jax.Array, off: jax.Array, cnt: jax.Array,
-                        x: jax.Array, iters: int) -> jax.Array:
+def _take(arr: Union[jax.Array, Packed1D], idx: jax.Array) -> jax.Array:
+    return arr.take(idx) if isinstance(arr, Packed1D) else jnp.take(arr, idx)
+
+
+def _window_count_le(arr: Packed1D, start: jax.Array, lo: jax.Array,
+                     hi: jax.Array, x: jax.Array) -> jax.Array:
+    """``|{i in [lo,hi): arr[start+i] <= x}|`` for windows of width ≤ 128.
+
+    Two *independent* (pipelineable) row gathers cover the ≤128-element
+    window wherever it straddles a row boundary; the count is then one
+    vectorized masked reduction — this replaces the last 7 rounds of
+    binary search, whose probes form a serial dependence chain (~12 µs per
+    round on v5e vs ~6 µs for this whole epilogue)."""
+    shape = lo.shape
+    p0 = (start + lo).reshape(-1)                       # window start, flat
+    row0 = p0 >> 7
+    r0 = jnp.take(arr.rows, row0, axis=0)               # [M, 128]
+    r1 = jnp.take(arr.rows, row0 + 1, axis=0)           # clip pads the tail
+    vals = jnp.concatenate([r0, r1], axis=1)            # [M, 256]
+    pos = (row0[:, None] << 7) + jnp.arange(256, dtype=p0.dtype)[None, :]
+    win_lo = p0[:, None]
+    win_hi = (start + hi).reshape(-1)[:, None]
+    ok = (pos >= win_lo) & (pos < win_hi) & (vals <= x.reshape(-1)[:, None])
+    return (lo + jnp.sum(ok, axis=1).astype(lo.dtype).reshape(shape))
+
+
+def batched_upper_bound(arr: Union[jax.Array, Packed1D], off: jax.Array,
+                        cnt: jax.Array, x: jax.Array,
+                        iters: int) -> jax.Array:
     """For each lane: ``|{i in [0,cnt): arr[off+i] <= x}|``.
 
-    ``arr`` holds per-group sorted windows back to back; ``iters`` must be a
-    static bound ≥ ceil(log2(max cnt + 1)). Pure vector binary search.
+    ``arr`` holds per-group sorted windows back to back (plain 1-D or
+    ``Packed1D``); ``iters`` must be a static bound ≥ ceil(log2(max cnt +
+    1)). Hybrid search: ``max(0, iters − 7)`` statically-unrolled rounds of
+    vector binary search narrow every window to ≤ 128 elements, then one
+    vectorized two-row count finishes exactly (``_window_count_le``). The
+    binary rounds' probes are a serial gather chain — the hybrid keeps that
+    chain short regardless of group size.
 
-    (Measured note: a k-ary variant — one [lanes, k−1] probe gather per
-    round, log_k rounds — was tried to shorten the dependent-gather chain,
-    but the wide 3-D gather hits a slower path on v5e than k−1 extra cheap
-    rounds of flat [lanes] gathers: 1.39 vs 0.97 ms/step at FB15K-237
-    shapes. Keep the flat binary search.)"""
+    (Measured notes, v5e: a k-ary variant — one [lanes, k−1] probe gather
+    per round — loses to flat rounds because the wide 3-D gather hits a
+    slow path; a lax.fori_loop loses to static unrolling.)"""
     shape = jnp.broadcast_shapes(jnp.shape(cnt), jnp.shape(x),
                                  jnp.shape(off))
     lo = jnp.zeros(shape, dtype=cnt.dtype)
     hi = jnp.broadcast_to(cnt, shape)
 
-    def body(_, carry):
-        lo, hi = carry
+    packed = isinstance(arr, Packed1D)
+    rounds = max(0, iters - 7) if packed else iters
+    for _ in range(rounds):
         mid = (lo + hi) >> 1
-        probe = jnp.take(arr, off + jnp.minimum(mid, jnp.maximum(cnt - 1, 0)),
-                         axis=0)
+        probe = _take(arr, off + jnp.minimum(mid, jnp.maximum(cnt - 1, 0)))
         go_right = (mid < hi) & (probe <= x)
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
-        return lo, hi
-
-    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    if packed:
+        lo = _window_count_le(arr, off, lo, hi, x)
     return lo
 
 
@@ -81,9 +117,9 @@ def _randint(key: jax.Array, shape, bound: jax.Array) -> jax.Array:
     return (bits % jnp.maximum(bound, 1).astype(jnp.uint32)).astype(jnp.int32)
 
 
-def _complement_sample(key: jax.Array, shape, arr: jax.Array, off: jax.Array,
-                       cnt: jax.Array, n_vals: int, iters: int,
-                       avoid: jax.Array) -> jax.Array:
+def _complement_sample(key: jax.Array, shape, arr: Union[jax.Array, Packed1D],
+                       off: jax.Array, cnt: jax.Array, n_vals: int,
+                       iters: int, avoid: jax.Array) -> jax.Array:
     """Uniform draw from ``[0, n_vals) \\ group`` via the offset trick.
 
     Degenerate case the reference never hits at KG scale but we must
@@ -107,20 +143,18 @@ class DeviceSampler:
     """Device-resident triple store + corruption indexes.
 
     The arrays live in HBM for the whole run (10M triples ≈ a few hundred
-    MB); every ``sample`` call is traceable and fuses into the train step."""
+    MB); every ``sample`` call is traceable and fuses into the train step.
+    **Always pass the sampler into jitted code as an argument** — closing
+    over it embeds the triple store as executable constants (bloated
+    programs, and re-shipped per call on remote-attached TPUs)."""
 
-    train_h: jax.Array     # [T] int32
-    train_t: jax.Array
-    train_r: jax.Array
-    hr_off: jax.Array      # [T] per-triple window into ent_adj (tails of (h,r))
-    hr_cnt: jax.Array
-    tr_off: jax.Array      # [T] per-triple window into ent_adj (heads of (t,r))
-    tr_cnt: jax.Array
-    ent_adj: jax.Array     # concat(hr.adj, tr.adj) — tr_off pre-shifted
-    ht_off: jax.Array      # [T] window into rel_adj (rels of (h,t))
-    ht_cnt: jax.Array
-    rel_adj: jax.Array
-    p_corrupt_head: jax.Array  # [R] float32 (bern); 0.5 used when bern=False
+    # one interleaved record per train triple: (h, t, r, hr_off, hr_cnt,
+    # tr_off, tr_cnt, ht_off, ht_cnt) — all nine fields of a positive come
+    # from a single 128-lane row gather (ops/gather.py PackedRecords)
+    trip: PackedRecords
+    ent_adj: Packed1D     # concat(hr.adj, tr.adj) — tr_off pre-shifted
+    rel_adj: Packed1D
+    p_corrupt_head: Packed1D  # [R] float32 (bern); 0.5 used when bern=False
     # static metadata
     n_ent: int
     n_rel: int
@@ -129,9 +163,7 @@ class DeviceSampler:
     rel_iters: int
 
     def tree_flatten(self):
-        children = (self.train_h, self.train_t, self.train_r,
-                    self.hr_off, self.hr_cnt, self.tr_off, self.tr_cnt,
-                    self.ent_adj, self.ht_off, self.ht_cnt, self.rel_adj,
+        children = (self.trip, self.ent_adj, self.rel_adj,
                     self.p_corrupt_head)
         aux = (self.n_ent, self.n_rel, self.n_train, self.ent_iters,
                self.rel_iters)
@@ -151,16 +183,17 @@ class DeviceSampler:
         tr_off = rows["tr_off"].astype(np.int64) + len(hr_adj)
         max_ent_cnt = max(index.hr.max_cnt, index.tr.max_cnt, 1)
         max_rel_cnt = max(index.ht.max_cnt, 1)
-        dev = jnp.asarray
+        trip = PackedRecords.build([
+            rows["train_h"], rows["train_t"], rows["train_r"],
+            rows["hr_off"], rows["hr_cnt"],
+            tr_off.astype(np.int32), rows["tr_cnt"],
+            rows["ht_off"], rows["ht_cnt"]])
         return cls(
-            train_h=dev(rows["train_h"]), train_t=dev(rows["train_t"]),
-            train_r=dev(rows["train_r"]),
-            hr_off=dev(rows["hr_off"]), hr_cnt=dev(rows["hr_cnt"]),
-            tr_off=dev(tr_off.astype(np.int32)), tr_cnt=dev(rows["tr_cnt"]),
-            ent_adj=dev(ent_adj.astype(np.int32)),
-            ht_off=dev(rows["ht_off"]), ht_cnt=dev(rows["ht_cnt"]),
-            rel_adj=dev(index.ht.adj.astype(np.int32)),
-            p_corrupt_head=dev(index.p_corrupt_head),
+            trip=trip,
+            ent_adj=Packed1D.build(ent_adj.astype(np.int32)),
+            rel_adj=Packed1D.build(index.ht.adj.astype(np.int32)),
+            p_corrupt_head=Packed1D.build(
+                index.p_corrupt_head.astype(np.float32)),
             n_ent=ds.n_ent, n_rel=ds.n_rel, n_train=len(ds.train),
             ent_iters=_ceil_log2(max_ent_cnt + 1),
             rel_iters=_ceil_log2(max_rel_cnt + 1),
@@ -184,15 +217,14 @@ class DeviceSampler:
             start, size = partition
             idx = start + _randint(k_pos, (batch_size,), size)
 
-        h = jnp.take(self.train_h, idx)
-        t = jnp.take(self.train_t, idx)
-        r = jnp.take(self.train_r, idx)
+        (h, t, r, hr_off, hr_cnt, tr_off, tr_cnt,
+         ht_off, ht_cnt) = self.trip.take(idx)
 
-        neg_h = neg_t = neg_r_h = None
+        neg_h = neg_t = None
         if negative_ent > 0:
             shape = (batch_size, negative_ent)
             if bern:
-                p_head = jnp.take(self.p_corrupt_head, r)[:, None]
+                p_head = self.p_corrupt_head.take(r)[:, None]
             else:
                 p_head = jnp.float32(0.5)
             corrupt_head = jax.random.uniform(k_flip, shape) < p_head
@@ -200,10 +232,8 @@ class DeviceSampler:
             # one fused complement search over the concatenated adj array:
             # head-corruption uses the (t,r)→heads window, tail-corruption
             # the (h,r)→tails window
-            off = jnp.where(corrupt_head, jnp.take(self.tr_off, idx)[:, None],
-                            jnp.take(self.hr_off, idx)[:, None])
-            cnt = jnp.where(corrupt_head, jnp.take(self.tr_cnt, idx)[:, None],
-                            jnp.take(self.hr_cnt, idx)[:, None])
+            off = jnp.where(corrupt_head, tr_off[:, None], hr_off[:, None])
+            cnt = jnp.where(corrupt_head, tr_cnt[:, None], hr_cnt[:, None])
             avoid = jnp.where(corrupt_head, h[:, None], t[:, None])
             corrupted = _complement_sample(k_ent, shape, self.ent_adj, off,
                                            cnt, self.n_ent, self.ent_iters,
@@ -214,10 +244,9 @@ class DeviceSampler:
         neg_rel = None
         if negative_rel > 0:
             shape = (batch_size, negative_rel)
-            off = jnp.take(self.ht_off, idx)[:, None]
-            cnt = jnp.take(self.ht_cnt, idx)[:, None]
-            neg_rel = _complement_sample(k_rel, shape, self.rel_adj, off,
-                                         cnt, self.n_rel, self.rel_iters,
+            neg_rel = _complement_sample(k_rel, shape, self.rel_adj,
+                                         ht_off[:, None], ht_cnt[:, None],
+                                         self.n_rel, self.rel_iters,
                                          r[:, None])
 
         return SampledBatch(h=h, t=t, r=r, neg_h=neg_h, neg_t=neg_t,

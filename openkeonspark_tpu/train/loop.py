@@ -159,18 +159,22 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
             else:
                 for _ in range(n_full):
                     key, sub = jax.random.split(key)
-                    state, loss = run_full(state, sub)
+                    state, loss = run_full(state, sampler, sub)
                     losses.append(loss)
                 if run_rem is not None:
                     key, sub = jax.random.split(key)
-                    state, loss = run_rem(state, sub)
+                    state, loss = run_rem(state, sampler, sub)
                     losses.append(loss)
+            # pull the loss scalars (data-dependent on every step) BEFORE
+            # reading the clock: on remote-attached TPUs block_until_ready
+            # on donated outputs can return before execution finishes, so
+            # value transfer is the only honest sync for the meter
+            mean_loss = float(np.mean([float(l) for l in losses]))
             jax.block_until_ready(state.params)
             if tracing:
                 jax.profiler.stop_trace()
                 log({"event": "trace_written", "dir": cfg.trace_dir})
             dt = time.perf_counter() - t0
-            mean_loss = float(np.mean([float(l) for l in losses]))
             tps = cfg.nbatches * batch_size / dt
 
             stats = EpochStats(epoch=epoch, loss=mean_loss, seconds=dt,

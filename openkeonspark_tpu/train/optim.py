@@ -34,6 +34,31 @@ from openkeonspark_tpu.config import Config
 # updates: table name -> list of (ids [N], row_grads [N, dim])
 Updates = Dict[str, List[Tuple[jax.Array, jax.Array]]]
 
+# XLA's TPU scatter costs ~20 ns per scattered row regardless of table
+# size (measured on v5e); for small tables a one-hot matmul on the MXU is
+# cheaper than row-wise scatter, exact for our masking (sentinel ids match
+# no table row), and removes the rel-table scatter from the step entirely.
+MATMUL_SCATTER_MAX_ROWS = 512
+
+
+def scatter_add_rows(table: jax.Array, ids: jax.Array,
+                     delta: jax.Array) -> jax.Array:
+    """``table[ids] += delta`` where ids ≥ table rows are discarded.
+
+    Small tables take the MXU one-hot path; large ones the masked
+    scatter-add (duplicates sum in both)."""
+    rows = table.shape[0]
+    if rows <= MATMUL_SCATTER_MAX_ROWS:
+        onehot = (ids[None, :] ==
+                  jnp.arange(rows, dtype=ids.dtype)[:, None])
+        return table + jax.lax.dot(
+            onehot.astype(table.dtype), delta.astype(table.dtype),
+            precision=jax.lax.Precision.HIGHEST)
+    valid = (ids < rows)[:, None]
+    idc = jnp.minimum(ids, rows - 1)
+    return table.at[idc].add(
+        jnp.where(valid, delta, 0.0).astype(table.dtype))
+
 
 def aggregate_duplicates(ids: jax.Array, grads: jax.Array,
                          sentinel: int) -> Tuple[jax.Array, jax.Array]:
@@ -64,17 +89,13 @@ class SparseSGD:
         new_params = dict(params)
         for table, pairs in updates.items():
             t = new_params[table]
-            rows = t.shape[0]
             # one fused scatter-add per table (not one per id-stream)
             if len(pairs) == 1:
                 ids, g = pairs[0]
             else:
                 ids = jnp.concatenate([i for i, _ in pairs])
                 g = jnp.concatenate([gg for _, gg in pairs])
-            valid = (ids < rows)[:, None]
-            idc = jnp.minimum(ids, rows - 1)
-            delta = jnp.where(valid, -self.lr * g, 0.0)
-            new_params[table] = t.at[idc].add(delta.astype(t.dtype))
+            new_params[table] = scatter_add_rows(t, ids, -self.lr * g)
         return new_params, state
 
 

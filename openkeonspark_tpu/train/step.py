@@ -105,13 +105,22 @@ def build_train_step(model: KGEModel, cfg: Config, sampler: DeviceSampler,
                      batch_size: int,
                      partition: Optional[Tuple[jax.Array, jax.Array]] = None
                      ) -> Callable:
-    """Single-device step fn: (state, key) → (state, loss)."""
-    opt = make_optimizer(cfg)
+    """Single-device step fn: (state, sampler, key) → (state, loss).
 
-    def step_fn(state: TrainState, key: jax.Array):
-        batch = sampler.sample(key, batch_size, cfg.negative_ent,
-                               cfg.negative_rel, cfg.bern,
-                               partition=partition)
+    The sampler is a **runtime argument**, not a closure: closed-over
+    device arrays become executable-embedded constants, which (a) bloat
+    every compiled program with the whole triple store and (b) get
+    re-shipped per call on remote-attached TPUs — measured 100× slower
+    end-to-end than passing the same arrays as traced inputs. The
+    ``sampler`` passed here is used only for its static metadata (sizes,
+    search depths, pytree structure)."""
+    opt = make_optimizer(cfg)
+    del sampler  # static metadata travels inside the runtime argument
+
+    def step_fn(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
+        batch = sampler_.sample(key, batch_size, cfg.negative_ent,
+                                cfg.negative_rel, cfg.bern,
+                                partition=partition)
         loss, updates = loss_and_row_grads(model, cfg, state.params, batch)
         params, opt_state = opt.apply(state.params, state.opt_state, updates,
                                       state.step)
@@ -137,12 +146,14 @@ def build_host_batch_step(model: KGEModel, cfg: Config) -> Callable:
 
 def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
     """Fuse ``steps`` train steps into one jitted host call via lax.scan.
-    Returns (state, key) → (state, mean_loss)."""
+    Returns (state, sampler, key) → (state, mean_loss); the sampler rides
+    along as a traced argument (see ``build_train_step``)."""
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(state: TrainState, key: jax.Array):
+    def run(state: TrainState, sampler: DeviceSampler, key: jax.Array):
         keys = jax.random.split(key, steps)
-        state, losses = jax.lax.scan(lambda s, k: step_fn(s, k), state, keys)
+        state, losses = jax.lax.scan(lambda s, k: step_fn(s, sampler, k),
+                                     state, keys)
         return state, jnp.mean(losses)
 
     return run

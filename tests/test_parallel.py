@@ -51,8 +51,8 @@ def test_model_sharding_bitwise_matches_single_device(kg, opt, model_axis):
     a, la = state, None
     b, lb = sh, None
     for i in range(3):
-        a, la = step_ref(a, jax.random.key(i))
-        b, lb = step_sh(b, jax.random.key(i))
+        a, la = step_ref(a, sampler, jax.random.key(i))
+        b, lb = step_sh(b, shard_sampler(sampler, mesh), jax.random.key(i))
     assert float(la) == pytest.approx(float(lb), rel=1e-6)
     specs = model.tables(cfg, ds.n_ent, ds.n_rel)
     pa = strip_padding(a.params, specs)
@@ -74,7 +74,7 @@ def test_data_sharding_trains_and_stays_synced(kg):
 
     losses = []
     for i in range(20):
-        sh, loss = step(sh, jax.random.key(i))
+        sh, loss = step(sh, shard_sampler(sampler, mesh), jax.random.key(i))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     # addressable shards along 'data' must be identical replicas
@@ -126,7 +126,7 @@ def test_data_sharding_gradient_sum_semantics(kg):
     step = jax.jit(build_sharded_train_step(
         model, cfg, shard_sampler(sampler, mesh), 64, mesh))
     key = jax.random.key(7)
-    b, lb = step(sh, key)
+    b, lb = step(sh, shard_sampler(sampler, mesh), key)
 
     # reproduce on host: each shard draws 32 positives from its slice with
     # fold_in(key, d); apply both updates to one dense table copy

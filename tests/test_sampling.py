@@ -89,7 +89,9 @@ def test_complement_uniformity(kg):
     # force tail corruption by zeroing p_corrupt_head
     import dataclasses
     forced = dataclasses.replace(
-        sampler, p_corrupt_head=jnp.zeros_like(sampler.p_corrupt_head))
+        sampler, p_corrupt_head=dataclasses.replace(
+            sampler.p_corrupt_head,
+            rows=jnp.zeros_like(sampler.p_corrupt_head.rows)))
     n_draw, counts = 20000, {}
     part = (jnp.int32(i), jnp.int32(1))  # only draw positive i
     batch = jax.jit(lambda k: forced.sample(k, n_draw, 1, 0, True,

@@ -69,7 +69,7 @@ def test_sgd_step_matches_dense_oracle(name, loss_mode):
     dense0 = dense_params_from(state, model, cfg, ds.n_ent, ds.n_rel)
     want_loss, want_params = dense_sgd_step(name, cfg, dense0, h, t, r, B)
 
-    new_state, loss = step_fn(state, key)
+    new_state, loss = step_fn(state, sampler, key)
     np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
     got = strip_padding(new_state.params,
                         model.tables(cfg, ds.n_ent, ds.n_rel))
@@ -94,7 +94,7 @@ def test_adam_step_matches_dense_lazy_oracle(name):
     want_loss, want_params, _, _ = dense_adam_step(
         name, cfg, dense0, m0, v0, 0, h, t, r, B)
 
-    new_state, loss = step_fn(state, key)
+    new_state, loss = step_fn(state, sampler, key)
     np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
     got = strip_padding(new_state.params,
                         model.tables(cfg, ds.n_ent, ds.n_rel))
@@ -146,7 +146,7 @@ def test_two_sgd_steps_keep_parity():
         _, dense = dense_sgd_step("transe", cfg,
                                   {n: jnp.asarray(v) for n, v in dense.items()},
                                   h, t, r, B)
-        state, _ = step_fn(state, k)
+        state, _ = step_fn(state, sampler, k)
 
     got = strip_padding(state.params, model.tables(cfg, ds.n_ent, ds.n_rel))
     for k in got:
