@@ -59,6 +59,8 @@ class Config:
     early_stop_min_delta: float = 0.0
     eval_chunk: int = 64             # test triples scored per eval step
     eval_block: int = 1024           # candidate entities per scoring block
+    eval_group_elems: int = 1 << 25  # known-matrix elements per dispatch
+    #   group (queries × k_max); bounds host/device memory for huge splits
     type_constrain: bool = False     # type-constrained eval if type_constrain.txt exists
 
     # --- execution ------------------------------------------------------

@@ -44,6 +44,7 @@ from openkeonspark_tpu.data.dataset import Dataset, H, R, T
 from openkeonspark_tpu.data.index import GroupIndex, KGIndex
 from openkeonspark_tpu.eval.scoring import candidate_scores
 from openkeonspark_tpu.models.base import get_model
+from openkeonspark_tpu.ops.gather import Packed1D
 
 
 @dataclass
@@ -127,11 +128,31 @@ def _pad_entity_tables(model, params: Dict[str, jax.Array], cfg: Config,
     return out, nblocks
 
 
-@partial(jax.jit, static_argnames=("model_name", "replace", "block",
-                                   "nblocks", "n_ent", "cfg"))
+def _known_window(kvals: Packed1D, off: jax.Array, cnt: jax.Array,
+                  k_max: int, pad: int) -> jax.Array:
+    """Device-side known-true ids for each query: the group lists are
+    contiguous runs of the all-splits value array (the reference's sorted
+    ``tripleList`` ranges), so ≤ (k_max+127)/128 + 1 *row* gathers of the
+    Packed1D view cover every window; out-of-window lanes become ``pad``.
+    The result is an unordered cover of the group — downstream only scores
+    and counts it, so alignment is irrelevant. Replaces a host-side NumPy
+    gather that cost more than the whole device pass at 20k-query scale."""
+    nrows = (k_max + 127) // 128 + 1
+    row0 = off >> 7
+    parts = [jnp.take(kvals.rows, row0 + i, axis=0) for i in range(nrows)]
+    w = jnp.concatenate(parts, axis=1)                     # [C, nrows*128]
+    pos = ((row0[:, None] << 7)
+           + jnp.arange(nrows * 128, dtype=off.dtype)[None, :])
+    ok = (pos >= off[:, None]) & (pos < (off + cnt)[:, None])
+    return jnp.where(ok, w, pad)
+
+
 def _rank_chunk(params, h, t, r, gold, known, model_name: str, replace: str,
                 block: int, nblocks: int, n_ent: int, cfg: Config):
-    """One query chunk, both rank modes.
+    """One query chunk, both rank modes (traceable core — jitted callers
+    ``lax.scan`` it over many chunks so the whole evaluation is ONE device
+    dispatch per direction, not one per chunk; per-chunk dispatch through
+    a remote TPU tunnel was ~100× slower than the scoring itself).
 
     gold  [C]    — true id of the replaced slot
     known [C,K]  — all-splits known ids for the replaced slot (pad = n_ent)
@@ -188,8 +209,6 @@ def _rank_chunk(params, h, t, r, gold, known, model_name: str, replace: str,
     return raw_better, raw_better - known_better
 
 
-@partial(jax.jit, static_argnames=("replace", "block", "n_ent", "p",
-                                   "interpret"))
 def _rank_chunk_transe_kernel(params, table_t, h, t, r, gold, known,
                               replace: str, block: int, n_ent: int, p: int,
                               interpret: bool):
@@ -212,6 +231,40 @@ def _rank_chunk_transe_kernel(params, table_t, h, t, r, gold, known,
     known_better = jnp.sum((ks < gold_s[:, None]) & kvalid,
                            axis=1).astype(jnp.int32)
     return raw, raw - known_better
+
+
+@partial(jax.jit, static_argnames=("model_name", "replace", "block",
+                                   "nblocks", "n_ent", "k_max", "cfg"))
+def _rank_scan(params, kvals, h, t, r, gold, koff, kcnt, model_name: str,
+               replace: str, block: int, nblocks: int, n_ent: int,
+               k_max: int, cfg: Config):
+    """Rank many chunks in one dispatch: [NC, C] inputs scanned over the
+    leading axis; known-true ids materialize on device per chunk."""
+
+    def body(_, inp):
+        hq, tq, rq, g, ko, kc = inp
+        kn = _known_window(kvals, ko, kc, k_max, n_ent)
+        return None, _rank_chunk(params, hq, tq, rq, g, kn, model_name,
+                                 replace, block, nblocks, n_ent, cfg)
+
+    _, (raw, filt) = jax.lax.scan(body, None, (h, t, r, gold, koff, kcnt))
+    return raw, filt
+
+
+@partial(jax.jit, static_argnames=("replace", "block", "n_ent", "k_max",
+                                   "p", "interpret"))
+def _rank_scan_transe_kernel(params, table_t, kvals, h, t, r, gold, koff,
+                             kcnt, replace: str, block: int, n_ent: int,
+                             k_max: int, p: int, interpret: bool):
+    def body(_, inp):
+        hq, tq, rq, g, ko, kc = inp
+        kn = _known_window(kvals, ko, kc, k_max, n_ent)
+        return None, _rank_chunk_transe_kernel(
+            params, table_t, hq, tq, rq, g, kn, replace, block, n_ent, p,
+            interpret)
+
+    _, (raw, filt) = jax.lax.scan(body, None, (h, t, r, gold, koff, kcnt))
+    return raw, filt
 
 
 def _use_pallas(cfg: Config) -> bool:
@@ -269,53 +322,63 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
 
     h_all, t_all, r_all = triples[:, H], triples[:, T], triples[:, R]
     n = len(triples)
-    # static known-width: max all-splits group size over the test queries
+    # host side: only the (off, cnt) window lookups (one searchsorted per
+    # direction); the known-id windows themselves materialize on device
+    # (_known_window) from Packed1D views of the all-splits group arrays
     offt, cntt = index.hr_all.lookup(h_all, r_all)
     offh, cnth = index.tr_all.lookup(t_all, r_all)
     k_max = int(max(cntt.max() if n else 0, cnth.max() if n else 0, 1))
     k_max = -(-k_max // 64) * 64
+    kvals_t = Packed1D.build(index.hr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
+    kvals_h = Packed1D.build(index.tr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
 
     ranks = {k: np.empty(n, np.int64) for k in
              ("raw_head", "raw_tail", "filt_head", "filt_tail")}
 
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        sl = slice(s, e)
-        # pad the last chunk by repeating its first triple
-        pad = chunk - (e - s)
-        hq = np.concatenate([h_all[sl], np.repeat(h_all[s:s + 1], pad)])
-        tq = np.concatenate([t_all[sl], np.repeat(t_all[s:s + 1], pad)])
-        rq = np.concatenate([r_all[sl], np.repeat(r_all[s:s + 1], pad)])
-
-        kt = _known_matrix(index.hr_all, hq, rq, k_max, ds.n_ent)
-        kh = _known_matrix(index.tr_all, tq, rq, k_max, ds.n_ent)
-        hq, tq, rq = jnp.asarray(hq), jnp.asarray(tq), jnp.asarray(rq)
+    # one device dispatch per direction per group: chunks are stacked on a
+    # leading axis and lax.scan'ed inside the jit (per-chunk dispatch
+    # through a remote tunnel cost ~100× the scoring itself). Groups bound
+    # the per-dispatch query count for huge test sets.
+    group_q = max(chunk, cfg.eval_group_elems // max(k_max, 1) // chunk
+                  * chunk)
+    for s in range(0, n, group_q):
+        e = min(s + group_q, n)
+        m = e - s
+        pad = (-m) % chunk
+        ext = lambda a: np.concatenate([a[s:e], np.repeat(a[s:s + 1], pad)])
+        nc = (m + pad) // chunk
+        c2 = lambda a: jnp.asarray(ext(a).reshape(nc, chunk))
+        hq, tq, rq = c2(h_all), c2(t_all), c2(r_all)
+        ot, ct = c2(offt), c2(cntt)
+        oh, ch = c2(offh), c2(cnth)
 
         if pallas:
-            raw_t, filt_t = _rank_chunk_transe_kernel(
-                params, table_t, hq, tq, rq, tq, jnp.asarray(kt),
-                replace="tail", block=kblock, n_ent=ds.n_ent,
+            raw_t, filt_t = _rank_scan_transe_kernel(
+                params, table_t, kvals_t, hq, tq, rq, tq, ot, ct,
+                replace="tail", block=kblock, n_ent=ds.n_ent, k_max=k_max,
                 p=cfg.p_norm, interpret=interpret)
-            raw_h, filt_h = _rank_chunk_transe_kernel(
-                params, table_t, hq, tq, rq, hq, jnp.asarray(kh),
-                replace="head", block=kblock, n_ent=ds.n_ent,
+            raw_h, filt_h = _rank_scan_transe_kernel(
+                params, table_t, kvals_h, hq, tq, rq, hq, oh, ch,
+                replace="head", block=kblock, n_ent=ds.n_ent, k_max=k_max,
                 p=cfg.p_norm, interpret=interpret)
         else:
-            raw_t, filt_t = _rank_chunk(params_pad, hq, tq, rq, tq,
-                                        jnp.asarray(kt), model_name=cfg.model,
-                                        replace="tail", block=block,
-                                        nblocks=nblocks, n_ent=ds.n_ent,
-                                        cfg=cfg)
-            raw_h, filt_h = _rank_chunk(params_pad, hq, tq, rq, hq,
-                                        jnp.asarray(kh), model_name=cfg.model,
-                                        replace="head", block=block,
-                                        nblocks=nblocks, n_ent=ds.n_ent,
-                                        cfg=cfg)
-        m = e - s
-        ranks["raw_tail"][sl] = np.asarray(raw_t)[:m]
-        ranks["filt_tail"][sl] = np.asarray(filt_t)[:m]
-        ranks["raw_head"][sl] = np.asarray(raw_h)[:m]
-        ranks["filt_head"][sl] = np.asarray(filt_h)[:m]
+            raw_t, filt_t = _rank_scan(params_pad, kvals_t, hq, tq, rq, tq,
+                                       ot, ct, model_name=cfg.model,
+                                       replace="tail", block=block,
+                                       nblocks=nblocks, n_ent=ds.n_ent,
+                                       k_max=k_max, cfg=cfg)
+            raw_h, filt_h = _rank_scan(params_pad, kvals_h, hq, tq, rq, hq,
+                                       oh, ch, model_name=cfg.model,
+                                       replace="head", block=block,
+                                       nblocks=nblocks, n_ent=ds.n_ent,
+                                       k_max=k_max, cfg=cfg)
+        sl = slice(s, e)
+        ranks["raw_tail"][sl] = np.asarray(raw_t).reshape(-1)[:m]
+        ranks["filt_tail"][sl] = np.asarray(filt_t).reshape(-1)[:m]
+        ranks["raw_head"][sl] = np.asarray(raw_h).reshape(-1)[:m]
+        ranks["filt_head"][sl] = np.asarray(filt_h).reshape(-1)[:m]
         if log is not None:
             log(f"link-pred {e}/{n}")
 
