@@ -90,13 +90,12 @@ def predict_relation(params, cfg: Config, n_ent: int, n_rel: int,
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k relations for (h, ?, t): score every relation id directly
     (relation count is small; one gather-score call)."""
-    model = get_model(cfg.model)
+    from openkeonspark_tpu.eval.classification import _score_jit
     rs = jnp.arange(n_rel, dtype=jnp.int32)
     hs = jnp.full((n_rel,), h, jnp.int32)
     ts = jnp.full((n_rel,), t, jnp.int32)
-    scores = np.asarray(jax.jit(
-        lambda p, a, b, c: model.score_triples(p, a, b, c, cfg))(
-            params, hs, ts, rs))
+    scores = np.asarray(_score_jit(params, hs, ts, rs,
+                                   model_name=cfg.model, cfg=cfg))
     k = min(k, n_rel)
     order = np.argsort(scores, kind="stable")[:k]
     return order.astype(np.int32), scores[order]
@@ -108,10 +107,10 @@ def predict_triple(params, cfg: Config, h: int, t: int, r: int,
     """Classify one triple (reference ``predict_triple(h, t, r, thresh)``):
     score < threshold ⇒ true. Give either a fitted :class:`Thresholds` or an
     explicit scalar threshold."""
-    model = get_model(cfg.model)
-    score = float(model.score_triples(
+    from openkeonspark_tpu.eval.classification import _score_jit
+    score = float(_score_jit(
         params, jnp.asarray([h], jnp.int32), jnp.asarray([t], jnp.int32),
-        jnp.asarray([r], jnp.int32), cfg)[0])
+        jnp.asarray([r], jnp.int32), model_name=cfg.model, cfg=cfg)[0])
     if threshold is None:
         if thresholds is None:
             raise ValueError("need thresholds or an explicit threshold")

@@ -112,18 +112,24 @@ def build_sharded_train_step(model: KGEModel, cfg: Config,
         loss, g_slots = slot_loss_and_grads(model, cfg, slots, B_local,
                                             n_neg)
 
-        # --- update exchange: all_gather (ids, grads) over 'data', apply
+        # --- update exchange: all_gather the MERGED (ids, grads) streams
+        # over 'data' (duplicate id streams already folded —
+        # train.step.merged_row_updates — so less ICI traffic), apply
         # locally with non-owned rows mapped to the discard sentinel ------
+        from openkeonspark_tpu.train.step import merged_row_updates
         updates: Updates = {}
-        for slot, table, anchor in gathers:
+        for table, pairs in merged_row_updates(model, batch,
+                                               g_slots).items():
             Lp = state.params[table].shape[0]
-            gid = jax.lax.all_gather(ids[anchor], DATA, tiled=True)
-            gg = jax.lax.all_gather(g_slots[slot], DATA, tiled=True)
-            lid = gid - m_idx * Lp
-            owned = (lid >= 0) & (lid < Lp)
-            lid = jnp.where(owned, lid, Lp)          # Lp = discard sentinel
-            gg = jnp.where(owned[:, None], gg, 0.0)
-            updates.setdefault(table, []).append((lid.astype(jnp.int32), gg))
+            for uid, ug in pairs:
+                gid = jax.lax.all_gather(uid, DATA, tiled=True)
+                gg = jax.lax.all_gather(ug, DATA, tiled=True)
+                lid = gid - m_idx * Lp
+                owned = (lid >= 0) & (lid < Lp)
+                lid = jnp.where(owned, lid, Lp)      # Lp = discard sentinel
+                gg = jnp.where(owned[:, None], gg, 0.0)
+                updates.setdefault(table, []).append(
+                    (lid.astype(jnp.int32), gg))
 
         params, opt_state = opt.apply(state.params, state.opt_state, updates,
                                       state.step)

@@ -86,19 +86,68 @@ def slot_loss_and_grads(model: KGEModel, cfg: Config, slots: dict,
     return jax.value_and_grad(loss_fn)(slots)
 
 
+def merged_row_updates(model: KGEModel, batch: SampledBatch,
+                       g_slots: dict) -> Updates:
+    """(table → [(ids, row-grads)]) with structurally duplicate id streams
+    merged — exact dense math, fewer scattered rows.
+
+    The slot layout (``_batch_ids``) repeats anchor ids: an entity-corrupted
+    negative keeps its *uncorrupted* side equal to the positive's id, and
+    relation-corrupted negatives reuse both entity ids. Merging those
+    segments into the positive stream shrinks the entity update from
+    ``B(2+2·negE+2·negR)`` to ``B(2+negE)`` rows and the relation update to
+    ``B(1+negR)`` — scatter cost on TPU is ~linear in scattered rows, and
+    the sharded step all_gathers one stream less per merge."""
+    B = batch.h.shape[0]
+    nE = batch.neg_h.shape[1] if batch.neg_h is not None else 0
+    nR = batch.neg_rel.shape[1] if batch.neg_rel is not None else 0
+    ch = [(batch.neg_h[:, k] != batch.h)[:, None] for k in range(nE)]
+    corrupted = [jnp.where(ch[k][:, 0], batch.neg_h[:, k], batch.neg_t[:, k])
+                 for k in range(nE)]
+
+    def seg(g, i):  # negative segment i of a slot's grad stream
+        return g[B * (1 + i):B * (2 + i)]
+
+    by_table: dict = {}
+    for slot, table, anchor in model.gathers():
+        by_table.setdefault(table, {})[anchor] = g_slots[slot]
+
+    updates: Updates = {}
+    for table, a in by_table.items():
+        out = updates.setdefault(table, [])
+        if "r" in a:
+            g = a["r"]
+            base = g[:B]
+            for k in range(nE):
+                base = base + seg(g, k)         # ent-negs reuse r exactly
+            for k in range(nR):
+                out.append((batch.neg_rel[:, k], seg(g, nE + k)))
+            out.append((batch.r, base))
+        else:  # entity-kind table: one h-anchored and one t-anchored slot
+            gh, gt = a["h"], a["t"]
+            base_h, base_t = gh[:B], gt[:B]
+            for k in range(nE):
+                sh, st = seg(gh, k), seg(gt, k)
+                base_h = base_h + jnp.where(ch[k], 0.0, sh)
+                base_t = base_t + jnp.where(ch[k], st, 0.0)
+                out.append((corrupted[k], jnp.where(ch[k], sh, st)))
+            for k in range(nE, nE + nR):        # rel-negs reuse h AND t
+                base_h = base_h + seg(gh, k)
+                base_t = base_t + seg(gt, k)
+            out.append((batch.h, base_h))
+            out.append((batch.t, base_t))
+    return updates
+
+
 def loss_and_row_grads(model: KGEModel, cfg: Config, params: dict,
                        batch: SampledBatch):
     """Scalar loss + gradients w.r.t. the *gathered rows* (never the dense
-    tables), plus the (table → [(ids, row-grads)]) update list."""
+    tables), plus the merged (table → [(ids, row-grads)]) update list."""
     h_all, t_all, r_all, n_neg = _batch_ids(batch)
     B = batch.h.shape[0]
-    ids = {"h": h_all, "t": t_all, "r": r_all}
     slots = model.gather_slots(params, h_all, t_all, r_all)
     loss, g_slots = slot_loss_and_grads(model, cfg, slots, B, n_neg)
-    updates: Updates = {}
-    for slot, table, anchor in model.gathers():
-        updates.setdefault(table, []).append((ids[anchor], g_slots[slot]))
-    return loss, updates
+    return loss, merged_row_updates(model, batch, g_slots)
 
 
 def build_train_step(model: KGEModel, cfg: Config, sampler: DeviceSampler,

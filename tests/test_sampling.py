@@ -148,3 +148,75 @@ def test_reference_layout(kg):
     nh = np.asarray(batch.neg_h)
     got = np.asarray(flat["batch_h"][B:2 * B])
     np.testing.assert_array_equal(got, nh[:, 0])
+
+
+def test_packed1d_take_matches_plain():
+    from openkeonspark_tpu.ops.gather import Packed1D
+    rng = np.random.default_rng(3)
+    for n in (1, 5, 127, 128, 129, 1000):
+        arr = rng.integers(-50, 50, n).astype(np.int32)
+        p = Packed1D.build(arr)
+        idx = rng.integers(0, n, (7, 13)).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(p.take)(jnp.asarray(idx))), arr[idx])
+
+
+def test_packed_records_roundtrip():
+    from openkeonspark_tpu.ops.gather import PackedRecords
+    rng = np.random.default_rng(4)
+    n, k = 1000, 9
+    fields = [rng.integers(0, 10**6, n).astype(np.int32) for _ in range(k)]
+    rec = PackedRecords.build(fields)
+    idx = rng.integers(0, n, 257).astype(np.int32)
+    got = jax.jit(rec.take)(jnp.asarray(idx))
+    assert len(got) == k
+    for j in range(k):
+        np.testing.assert_array_equal(np.asarray(got[j]), fields[j][idx])
+
+
+def test_hybrid_upper_bound_large_groups():
+    """Packed1D path with group sizes FAR above 128 — exercises the
+    binary-narrowing rounds + the two-row count epilogue."""
+    from openkeonspark_tpu.ops.gather import Packed1D
+    from openkeonspark_tpu.sampling.device import (_ceil_log2,
+                                                   batched_upper_bound)
+    rng = np.random.default_rng(5)
+    sizes = [0, 1, 127, 128, 129, 300, 1000, 4097]
+    windows = [np.sort(rng.choice(10**6, size=s, replace=False)).astype(np.int32)
+               for s in sizes]
+    arr = np.concatenate([w for w in windows if len(w)] or
+                         [np.empty(0, np.int32)])
+    offs, cur = [], 0
+    for w in windows:
+        offs.append(cur)
+        cur += len(w)
+    off_q, cnt_q, queries, want = [], [], [], []
+    for wi, w in enumerate(windows):
+        for x in rng.integers(0, 10**6, size=31):
+            off_q.append(offs[wi]); cnt_q.append(len(w)); queries.append(x)
+            want.append(int(np.searchsorted(w, x, side="right")))
+    iters = _ceil_log2(max(sizes) + 1)
+    got = jax.jit(lambda a, o, c, x: batched_upper_bound(a, o, c, x, iters))(
+        Packed1D.build(arr),
+        jnp.asarray(off_q, jnp.int32), jnp.asarray(cnt_q, jnp.int32),
+        jnp.asarray(queries, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_np_upper_bound_matches_searchsorted():
+    from openkeonspark_tpu.eval.classification import _np_upper_bound
+    rng = np.random.default_rng(6)
+    windows = [np.sort(rng.choice(1000, size=s, replace=False)).astype(np.int64)
+               for s in (0, 1, 17, 400)]
+    arr = np.concatenate([w for w in windows if len(w)])
+    offs, cur = [], 0
+    for w in windows:
+        offs.append(cur); cur += len(w)
+    off, cnt, x, want = [], [], [], []
+    for wi, w in enumerate(windows):
+        for q in rng.integers(-5, 1005, 40):
+            off.append(offs[wi]); cnt.append(len(w)); x.append(q)
+            want.append(int(np.searchsorted(w, q, side="right")))
+    got = _np_upper_bound(arr, np.array(off), np.array(cnt, np.int64),
+                          np.array(x))
+    np.testing.assert_array_equal(got, want)
