@@ -5,10 +5,14 @@ Reference ``Test.h``'s optional type-constrained protocol (SURVEY.md §2.2
 allowed for the relation by ``type_constrain.txt``. Ranks and metrics are
 otherwise identical (raw + filtered, head/tail).
 
-Implementation: dense per-relation allowed masks [R, E] (uint8, built on
-host) streamed per chunk; the count adds an ``allowed`` conjunct. The gold
-entity always counts as allowed (the reference ranks it even if the file
-omits it)."""
+Implementation: dense per-relation allowed masks [R, Epad] (uint8) are
+shipped to the device ONCE; each chunk gathers its queries' mask rows by
+relation id on device, and the whole evaluation is one ``lax.scan``
+dispatch per direction (mirroring ``link_prediction``) with the known-true
+filter windows also built on device. The gold entity needs no special
+"always allowed" handling: rank counts are strict ``<`` against the gold
+score, so the gold candidate never counts regardless of its mask bit, and
+the known-true correction excludes it explicitly."""
 
 from __future__ import annotations
 
@@ -24,19 +28,18 @@ from openkeonspark_tpu.data.index import KGIndex
 from openkeonspark_tpu.data.type_constrain import TypeConstraints
 from openkeonspark_tpu.eval.link_prediction import (DirectionMetrics,
                                                     LinkPredictionResult,
-                                                    _known_matrix,
+                                                    _known_window,
                                                     _pad_entity_tables)
 from openkeonspark_tpu.eval.scoring import candidate_scores
 from openkeonspark_tpu.models.base import get_model
+from openkeonspark_tpu.ops.gather import Packed1D
 
 
-@partial(jax.jit, static_argnames=("model_name", "replace", "block",
-                                   "nblocks", "n_ent", "cfg"))
 def _rank_chunk_constrained(params, h, t, r, gold, known, allowed,
                             model_name: str, replace: str, block: int,
                             nblocks: int, n_ent: int, cfg: Config):
     """Like link_prediction._rank_chunk but with an ``allowed`` [C, Epad]
-    uint8 mask conjoined into the count."""
+    uint8 mask conjoined into the count. Traceable core."""
     C = h.shape[0]
 
     def gold_body(acc, b):
@@ -85,6 +88,27 @@ def _rank_chunk_constrained(params, h, t, r, gold, known, allowed,
     return raw_better, raw_better - known_better
 
 
+@partial(jax.jit, static_argnames=("model_name", "replace", "block",
+                                   "nblocks", "n_ent", "k_max", "cfg"))
+def _rank_scan_constrained(params, masks, kvals, h, t, r, gold, koff, kcnt,
+                           model_name: str, replace: str, block: int,
+                           nblocks: int, n_ent: int, k_max: int,
+                           cfg: Config):
+    """One dispatch for all chunks: masks [R, Epad] gathered per chunk by
+    relation id; known windows built on device (see link_prediction)."""
+
+    def body(_, inp):
+        hq, tq, rq, g, ko, kc = inp
+        kn = _known_window(kvals, ko, kc, k_max, n_ent)
+        amask = jnp.take(masks, rq, axis=0)
+        return None, _rank_chunk_constrained(
+            params, hq, tq, rq, g, kn, amask, model_name, replace, block,
+            nblocks, n_ent, cfg)
+
+    _, (raw, filt) = jax.lax.scan(body, None, (h, t, r, gold, koff, kcnt))
+    return raw, filt
+
+
 def type_constrained_link_prediction(params, cfg: Config, ds: Dataset,
                                      index: KGIndex, tc: TypeConstraints,
                                      triples=None,
@@ -105,45 +129,48 @@ def type_constrained_link_prediction(params, cfg: Config, ds: Dataset,
     tm = np.zeros((ds.n_rel, Epad), np.uint8)
     hm[:, :ds.n_ent] = tc.head_mask(ds.n_ent)
     tm[:, :ds.n_ent] = tc.tail_mask(ds.n_ent)
+    hm_dev, tm_dev = jnp.asarray(hm), jnp.asarray(tm)
 
     h_all, t_all, r_all = triples[:, H], triples[:, T], triples[:, R]
     n = len(triples)
-    _, cntt = index.hr_all.lookup(h_all, r_all)
-    _, cnth = index.tr_all.lookup(t_all, r_all)
+    offt, cntt = index.hr_all.lookup(h_all, r_all)
+    offh, cnth = index.tr_all.lookup(t_all, r_all)
     k_max = int(max(cntt.max() if n else 0, cnth.max() if n else 0, 1))
     k_max = -(-k_max // 64) * 64
+    kvals_t = Packed1D.build(index.hr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
+    kvals_h = Packed1D.build(index.tr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
 
     ranks = {k: np.empty(n, np.int64) for k in
              ("raw_head", "raw_tail", "filt_head", "filt_tail")}
-    for s0 in range(0, n, chunk):
-        e = min(s0 + chunk, n)
-        pad = chunk - (e - s0)
-        sl = slice(s0, e)
-        hq = np.concatenate([h_all[sl], np.repeat(h_all[s0:s0 + 1], pad)])
-        tq = np.concatenate([t_all[sl], np.repeat(t_all[s0:s0 + 1], pad)])
-        rq = np.concatenate([r_all[sl], np.repeat(r_all[s0:s0 + 1], pad)])
-        kt = _known_matrix(index.hr_all, hq, rq, k_max, ds.n_ent)
-        kh = _known_matrix(index.tr_all, tq, rq, k_max, ds.n_ent)
-        # gold always allowed
-        a_t = tm[rq].copy()
-        a_t[np.arange(chunk), tq] = 1
-        a_h = hm[rq].copy()
-        a_h[np.arange(chunk), hq] = 1
-        hj, tj, rj = jnp.asarray(hq), jnp.asarray(tq), jnp.asarray(rq)
-
+    group_q = max(chunk, cfg.eval_group_elems // max(k_max, 1) // chunk
+                  * chunk)
+    for s0 in range(0, n, group_q):
+        e = min(s0 + group_q, n)
         m = e - s0
-        raw_t, filt_t = _rank_chunk_constrained(
-            params_pad, hj, tj, rj, tj, jnp.asarray(kt), jnp.asarray(a_t),
+        pad = (-m) % chunk
+        ext = lambda a: np.concatenate([a[s0:e],
+                                        np.repeat(a[s0:s0 + 1], pad)])
+        nc = (m + pad) // chunk
+        c2 = lambda a: jnp.asarray(ext(a).reshape(nc, chunk))
+        hq, tq, rq = c2(h_all), c2(t_all), c2(r_all)
+        ot, ct = c2(offt), c2(cntt)
+        oh, ch = c2(offh), c2(cnth)
+
+        raw_t, filt_t = _rank_scan_constrained(
+            params_pad, tm_dev, kvals_t, hq, tq, rq, tq, ot, ct,
             model_name=cfg.model, replace="tail", block=block,
-            nblocks=nblocks, n_ent=ds.n_ent, cfg=cfg)
-        raw_h, filt_h = _rank_chunk_constrained(
-            params_pad, hj, tj, rj, hj, jnp.asarray(kh), jnp.asarray(a_h),
+            nblocks=nblocks, n_ent=ds.n_ent, k_max=k_max, cfg=cfg)
+        raw_h, filt_h = _rank_scan_constrained(
+            params_pad, hm_dev, kvals_h, hq, tq, rq, hq, oh, ch,
             model_name=cfg.model, replace="head", block=block,
-            nblocks=nblocks, n_ent=ds.n_ent, cfg=cfg)
-        ranks["raw_tail"][sl] = np.asarray(raw_t)[:m]
-        ranks["filt_tail"][sl] = np.asarray(filt_t)[:m]
-        ranks["raw_head"][sl] = np.asarray(raw_h)[:m]
-        ranks["filt_head"][sl] = np.asarray(filt_h)[:m]
+            nblocks=nblocks, n_ent=ds.n_ent, k_max=k_max, cfg=cfg)
+        sl = slice(s0, e)
+        ranks["raw_tail"][sl] = np.asarray(raw_t).reshape(-1)[:m]
+        ranks["filt_tail"][sl] = np.asarray(filt_t).reshape(-1)[:m]
+        ranks["raw_head"][sl] = np.asarray(raw_h).reshape(-1)[:m]
+        ranks["filt_head"][sl] = np.asarray(filt_h).reshape(-1)[:m]
         if log:
             log(f"type-constrained link-pred {e}/{n}")
 
