@@ -13,3 +13,9 @@ checkpoint/resume, incremental batch training, and multi-host scaling via
 __version__ = "0.1.0"
 
 from openkeonspark_tpu.config import Config  # noqa: F401
+
+# reference-style imperative facade (drop-in for the reference's
+# `from config import Config` / `from models import TransE` pattern):
+#   from openkeonspark_tpu import compat
+#   con = compat.Config(); con.set_in_path(...); ...
+from openkeonspark_tpu import compat  # noqa: F401

@@ -141,7 +141,13 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
     log = _Logger(cfg, echo)
     result = TrainResult(state=state)
     best_acc, best_epoch, bad_checks = -np.inf, None, 0
-    key = jax.random.key(cfg.seed + 17)
+    # keys derive from the RESTORED global step, not a fresh split chain:
+    # resuming from a checkpoint replays the exact data order the
+    # uninterrupted run would have seen (the reference gets this from
+    # MonitoredTrainingSession restoring global_step, SURVEY.md §5)
+    key_base = jax.random.key(cfg.seed + 17)
+    step0 = int(state.step)
+    scan_step = 0
 
     try:
         for epoch in range(cfg.train_times):
@@ -158,11 +164,13 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
                     losses.append(loss)
             else:
                 for _ in range(n_full):
-                    key, sub = jax.random.split(key)
+                    sub = jax.random.fold_in(key_base, step0 + scan_step)
+                    scan_step += sps
                     state, loss = run_full(state, sampler, sub)
                     losses.append(loss)
                 if run_rem is not None:
-                    key, sub = jax.random.split(key)
+                    sub = jax.random.fold_in(key_base, step0 + scan_step)
+                    scan_step += rem
                     state, loss = run_rem(state, sampler, sub)
                     losses.append(loss)
             # pull the loss scalars (data-dependent on every step) BEFORE

@@ -1,0 +1,92 @@
+"""Reference-style Config facade: a reference script ported by changing
+one import must work end-to-end (SURVEY.md §2.1 Config surface)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from openkeonspark_tpu.compat import Config, TransE, TransH
+from openkeonspark_tpu.data.dataset import save_dataset
+from openkeonspark_tpu.data.synth import planted_kg
+
+
+@pytest.fixture(scope="module")
+def kg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kg")
+    save_dataset(planted_kg(n_ent=120, n_rel=5, n_triples=2000, n_valid=100,
+                            n_test=100, dim=8, noise=0.0, seed=2), str(d))
+    return str(d)
+
+
+def test_reference_script_flow(kg_dir, tmp_path):
+    con = Config()
+    con.set_in_path(kg_dir)
+    con.set_out_path(str(tmp_path / "out"))
+    con.set_work_threads(2)
+    con.set_train_times(8)
+    con.set_nbatches(10)
+    con.set_alpha(0.1)
+    con.set_margin(2.0)
+    con.set_bern(1)
+    con.set_dimension(16)
+    con.set_ent_neg_rate(2)
+    con.set_rel_neg_rate(0)
+    con.set_opt_method("SGD")
+    con.set_test_link_prediction(True)
+    con.set_test_triple_classification(True)
+    con.init()
+    con.set_model(TransE)
+    result = con.run(echo=lambda *_: None)
+    assert result.history[-1].loss < result.history[0].loss
+
+    lines = []
+    out = con.test(echo=lines.append)
+    assert "link_prediction" in out and "triple_classification" in out
+    assert 0.0 <= out["link_prediction"].filt_avg.mrr <= 1.0
+    assert any("hit@10" in str(l) for l in lines)
+
+    # predict_* family
+    h, t, r = map(int, con._ds.test[0])
+    tails = con.predict_tail_entity(h, r, k=5)
+    assert len(tails) == 5 and all(0 <= i < 120 for i in tails)
+    heads = con.predict_head_entity(t, r, k=5)
+    assert len(heads) == 5
+    rels = con.predict_relation(h, t, k=3)
+    assert len(rels) == 3 and all(0 <= i < 5 for i in rels)
+    verdict = con.predict_triple(h, t, r)
+    assert set(verdict) == {"score", "threshold", "is_true"}
+
+    # parameter export in the reference's vec.json layout
+    p = con.get_parameters()
+    assert p["ent_embeddings"].shape == (120, 16)
+    path = str(tmp_path / "embedding.vec.json")
+    con.save_parameters(path)
+    with open(path) as f:
+        blob = json.load(f)
+    np.testing.assert_allclose(np.array(blob["rel_embeddings"]),
+                               p["rel_embeddings"], rtol=1e-6)
+
+
+def test_set_model_accepts_class_marker_and_dims(kg_dir):
+    con = Config()
+    con.set_in_path(kg_dir)
+    con.set_train_times(1)
+    con.set_nbatches(5)
+    con.set_dimension(8)
+    con.init()
+    con.set_model(TransH)
+    assert con.cfg.model == "transh"
+
+    class TransR:  # reference passes the model CLASS
+        pass
+    con2 = Config()
+    con2.set_in_path(kg_dir)
+    con2.set_ent_dimension(8)
+    con2.set_rel_dimension(4)
+    con2.set_dimension(8)
+    con2.init()
+    con2.set_model(TransR)
+    assert con2.cfg.model == "transr"
+    assert con2.cfg.d_rel == 4
