@@ -45,8 +45,11 @@ def scatter_add_rows(table: jax.Array, ids: jax.Array,
                      delta: jax.Array) -> jax.Array:
     """``table[ids] += delta`` where ids ≥ table rows are discarded.
 
-    Small tables take the MXU one-hot path; large ones the masked
-    scatter-add (duplicates sum in both)."""
+    Small tables take the MXU one-hot path; everything else the masked
+    scatter-add (duplicates sum in both). (Measured dead end: sort-
+    aggregating duplicates before the scatter loses — ``segment_sum`` is
+    itself a scatter, so the aggregation pays the same ~40 GB/s scatter
+    throughput it was trying to avoid, plus a row shuffle.)"""
     rows = table.shape[0]
     if rows <= MATMUL_SCATTER_MAX_ROWS:
         onehot = (ids[None, :] ==

@@ -75,13 +75,22 @@ def _batch_ids(batch: SampledBatch) -> Tuple[jax.Array, jax.Array, jax.Array, in
 def slot_loss_and_grads(model: KGEModel, cfg: Config, slots: dict,
                         B: int, n_neg: int):
     """Scalar loss + gradients w.r.t. the gathered row bundle ``slots`` —
-    shared by the single-device and sharded (``parallel/``) steps."""
+    shared by the single-device and sharded (``parallel/``) steps.
+
+    Slots may be flat [(1+n_neg)·B, d] or — for slots whose segments are
+    all identical, e.g. relation-anchored rows when every negative shares
+    the positive's r — a single [B, d] block. Everything is viewed as
+    [S, B, d] and the models' broadcast-polymorphic score fns do the rest:
+    an S=1 slot is *read once* per batch row (for TransR's [dₑ×dᵣ]
+    projection matrices that read is the step's dominant traffic)."""
 
     def loss_fn(slots_):
-        scores = model.score(slots_, cfg)
-        pos = scores[:B]
-        neg = scores[B:].reshape(n_neg, B).T  # [B, n_neg]
-        return margin_ranking_loss(pos, neg, cfg.margin, cfg.loss_mode)
+        shaped = {k: v.reshape(v.shape[0] // B, B, v.shape[-1])
+                  for k, v in slots_.items()}
+        scores = model.score(shaped, cfg)          # [S, B] (S = 1 + n_neg)
+        scores = jnp.broadcast_to(scores, (1 + n_neg, B))
+        return margin_ranking_loss(scores[0], scores[1:].T, cfg.margin,
+                                   cfg.loss_mode)
 
     return jax.value_and_grad(loss_fn)(slots)
 
@@ -117,6 +126,9 @@ def merged_row_updates(model: KGEModel, batch: SampledBatch,
         out = updates.setdefault(table, [])
         if "r" in a:
             g = a["r"]
+            if g.shape[0] == B:                 # untiled [B, d] slot: the
+                out.append((batch.r, g))        # broadcast grad is already
+                continue                        # the merged sum
             base = g[:B]
             for k in range(nE):
                 base = base + seg(g, k)         # ent-negs reuse r exactly
@@ -139,13 +151,53 @@ def merged_row_updates(model: KGEModel, batch: SampledBatch,
     return updates
 
 
+def gather_slots_structured(model: KGEModel, params: dict,
+                            batch: SampledBatch) -> Tuple[dict, int]:
+    """Slot row bundles in ``_batch_ids`` layout, but gathering each
+    *distinct* id stream once: relation-anchored rows are gathered for the
+    positives only and tiled across entity-negative segments (they share
+    r exactly), and entity rows are reused across relation-negative
+    segments. For TransR this gathers each batch row's [d_e×d_r]
+    projection matrix once instead of (1+negE) times — that table's rows
+    are 100× wider than the embeddings, and its gather dominated the
+    step."""
+    nE = batch.neg_h.shape[1] if batch.neg_h is not None else 0
+    nR = batch.neg_rel.shape[1] if batch.neg_rel is not None else 0
+    slots = {}
+    for slot, table, anchor in model.gathers():
+        T = params[table]
+        if anchor == "r":
+            base = jnp.take(T, batch.r, axis=0)
+            if nR == 0:
+                # every segment shares r: keep ONE [B, d] block — the
+                # score layer broadcasts it (never materialized S times)
+                slots[slot] = base
+                continue
+            parts = [base] * (1 + nE)
+            parts += [jnp.take(T, batch.neg_rel[:, k], axis=0)
+                      for k in range(nR)]
+        elif anchor == "h":
+            base = jnp.take(T, batch.h, axis=0)
+            parts = [base]
+            parts += [jnp.take(T, batch.neg_h[:, k], axis=0)
+                      for k in range(nE)]
+            parts += [base] * nR
+        else:
+            base = jnp.take(T, batch.t, axis=0)
+            parts = [base]
+            parts += [jnp.take(T, batch.neg_t[:, k], axis=0)
+                      for k in range(nE)]
+            parts += [base] * nR
+        slots[slot] = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return slots, nE + nR
+
+
 def loss_and_row_grads(model: KGEModel, cfg: Config, params: dict,
                        batch: SampledBatch):
     """Scalar loss + gradients w.r.t. the *gathered rows* (never the dense
     tables), plus the merged (table → [(ids, row-grads)]) update list."""
-    h_all, t_all, r_all, n_neg = _batch_ids(batch)
     B = batch.h.shape[0]
-    slots = model.gather_slots(params, h_all, t_all, r_all)
+    slots, n_neg = gather_slots_structured(model, params, batch)
     loss, g_slots = slot_loss_and_grads(model, cfg, slots, B, n_neg)
     return loss, merged_row_updates(model, batch, g_slots)
 
