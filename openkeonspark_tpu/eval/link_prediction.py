@@ -209,24 +209,40 @@ def _rank_chunk(params, h, t, r, gold, known, model_name: str, replace: str,
     return raw_better, raw_better - known_better
 
 
-def _rank_chunk_transe_kernel(params, table_t, h, t, r, gold, known,
-                              replace: str, block: int, n_ent: int, p: int,
-                              interpret: bool):
-    """TransE fast path: the Pallas fused score+count kernel
-    (ops/pallas_rank.py) — ONE pass over the entity table instead of the
-    generic path's two, nothing materialized. Gold and known-true scores
-    go through arithmetic mirroring the kernel's d-chunked accumulation,
-    and the gold id is masked inside the kernel, so ranks are tie-exact."""
-    from openkeonspark_tpu.ops.pallas_rank import (count_better_transe,
-                                                   transe_candidate_scores,
-                                                   transe_queries)
-    q, sign = transe_queries(params, h, t, r, replace)
-    gold_s = transe_candidate_scores(q, params, gold, sign, p)
-    raw = count_better_transe(q, table_t, gold_s, gold, sign=sign, p=p,
-                              n_ent=n_ent, block=block, interpret=interpret)
+def _rank_chunk_kernel(params, table_t, cdot_t, h, t, r, gold, known,
+                       model_name: str, replace: str, block: int,
+                       n_ent: int, p: int, interpret: bool):
+    """Pallas fast path (TransE/TransH/TransD): the fused score+count
+    kernel (ops/pallas_rank.py) sweeps the entity table in ONE pass with
+    nothing materialized. Gold and known-true scores go through arithmetic
+    mirroring the kernel's d-chunked accumulation, and the gold id is
+    masked inside the kernel, so ranks are tie-exact. ``cdot_t`` is the
+    TransD per-entity transfer dot (None otherwise)."""
+    from openkeonspark_tpu.ops import pallas_rank as pk
     rows = params["ent_embeddings"].shape[0]
     kn = jnp.minimum(known, jnp.int32(rows - 1))
-    ks = transe_candidate_scores(q, params, kn, sign, p)
+    if model_name == "transe":
+        q, sign = pk.transe_queries(params, h, t, r, replace)
+        gold_s = pk.transe_candidate_scores(q, params, gold, sign, p)
+        raw = pk.count_better_transe(q, table_t, gold_s, gold, sign=sign,
+                                     p=p, n_ent=n_ent, block=block,
+                                     interpret=interpret)
+        ks = pk.transe_candidate_scores(q, params, kn, sign, p)
+    elif model_name == "transh":
+        q, w, sign = pk.transh_queries(params, h, t, r, replace)
+        gold_s = pk.transh_candidate_scores(q, w, params, gold, sign, p)
+        raw = pk.count_better_transh(q, w, table_t, gold_s, gold, sign=sign,
+                                     p=p, n_ent=n_ent, block=block,
+                                     interpret=interpret)
+        ks = pk.transh_candidate_scores(q, w, params, kn, sign, p)
+    else:  # transd
+        q, rp, sign = pk.transd_queries(params, h, t, r, replace)
+        gold_s = pk.transd_candidate_scores(q, rp, params, cdot_t, gold,
+                                            sign, p)
+        raw = pk.count_better_transd(q, rp, table_t, cdot_t, gold_s, gold,
+                                     sign=sign, p=p, n_ent=n_ent,
+                                     block=block, interpret=interpret)
+        ks = pk.transd_candidate_scores(q, rp, params, cdot_t, kn, sign, p)
     kvalid = (known < n_ent) & (known != gold[:, None])
     known_better = jnp.sum((ks < gold_s[:, None]) & kvalid,
                            axis=1).astype(jnp.int32)
@@ -251,25 +267,29 @@ def _rank_scan(params, kvals, h, t, r, gold, koff, kcnt, model_name: str,
     return raw, filt
 
 
-@partial(jax.jit, static_argnames=("replace", "block", "n_ent", "k_max",
-                                   "p", "interpret"))
-def _rank_scan_transe_kernel(params, table_t, kvals, h, t, r, gold, koff,
-                             kcnt, replace: str, block: int, n_ent: int,
-                             k_max: int, p: int, interpret: bool):
+@partial(jax.jit, static_argnames=("model_name", "replace", "block",
+                                   "n_ent", "k_max", "p", "interpret"))
+def _rank_scan_kernel(params, table_t, cdot_t, kvals, h, t, r, gold, koff,
+                      kcnt, model_name: str, replace: str, block: int,
+                      n_ent: int, k_max: int, p: int, interpret: bool):
     def body(_, inp):
         hq, tq, rq, g, ko, kc = inp
         kn = _known_window(kvals, ko, kc, k_max, n_ent)
-        return None, _rank_chunk_transe_kernel(
-            params, table_t, hq, tq, rq, g, kn, replace, block, n_ent, p,
-            interpret)
+        return None, _rank_chunk_kernel(
+            params, table_t, cdot_t, hq, tq, rq, g, kn, model_name, replace,
+            block, n_ent, p, interpret)
 
     _, (raw, filt) = jax.lax.scan(body, None, (h, t, r, gold, koff, kcnt))
     return raw, filt
 
 
 def _use_pallas(cfg: Config) -> bool:
+    # transe: 5× the XLA path; transd: 3× (measured, v5e, 14.5k ents,
+    # d=200). transh's kernel needs a second chunked pass for the pairwise
+    # dot and measured BELOW the XLA path (17k vs 20k triples/s) — XLA
+    # already maps that dot to the MXU — so transh stays generic.
     import os
-    if not (cfg.use_pallas_eval and cfg.model == "transe"):
+    if not (cfg.use_pallas_eval and cfg.model in ("transe", "transd")):
         return False
     if jax.default_backend() == "cpu":
         return os.environ.get("OKST_PALLAS_INTERPRET") == "1"
@@ -312,9 +332,17 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
     chunk = cfg.eval_chunk
     pallas = _use_pallas(cfg)
     if pallas:
-        from openkeonspark_tpu.ops.pallas_rank import prepare_table
+        from openkeonspark_tpu.ops.pallas_rank import (prepare_table,
+                                                       transd_prepare_cdot)
         kblock = max(block, 512)
+        if cfg.model != "transe":
+            # the projection kernels' extra VMEM scratch (pairwise-dot /
+            # cdot operands) OOMs the ~16 MB scoped vmem at block 1024
+            kblock = 512
         table_t = prepare_table(params["ent_embeddings"], block=kblock)
+        cdot_t = (transd_prepare_cdot(params, block=kblock)
+                  if cfg.model == "transd" else
+                  jnp.zeros((8, table_t.shape[1]), jnp.float32))
         interpret = jax.default_backend() == "cpu"
     else:
         params_pad, nblocks = _pad_entity_tables(model, params, cfg,
@@ -355,14 +383,16 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
         oh, ch = c2(offh), c2(cnth)
 
         if pallas:
-            raw_t, filt_t = _rank_scan_transe_kernel(
-                params, table_t, kvals_t, hq, tq, rq, tq, ot, ct,
-                replace="tail", block=kblock, n_ent=ds.n_ent, k_max=k_max,
-                p=cfg.p_norm, interpret=interpret)
-            raw_h, filt_h = _rank_scan_transe_kernel(
-                params, table_t, kvals_h, hq, tq, rq, hq, oh, ch,
-                replace="head", block=kblock, n_ent=ds.n_ent, k_max=k_max,
-                p=cfg.p_norm, interpret=interpret)
+            raw_t, filt_t = _rank_scan_kernel(
+                params, table_t, cdot_t, kvals_t, hq, tq, rq, tq, ot, ct,
+                model_name=cfg.model, replace="tail", block=kblock,
+                n_ent=ds.n_ent, k_max=k_max, p=cfg.p_norm,
+                interpret=interpret)
+            raw_h, filt_h = _rank_scan_kernel(
+                params, table_t, cdot_t, kvals_h, hq, tq, rq, hq, oh, ch,
+                model_name=cfg.model, replace="head", block=kblock,
+                n_ent=ds.n_ent, k_max=k_max, p=cfg.p_norm,
+                interpret=interpret)
         else:
             raw_t, filt_t = _rank_scan(params_pad, kvals_t, hq, tq, rq, tq,
                                        ot, ct, model_name=cfg.model,

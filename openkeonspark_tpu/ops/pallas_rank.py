@@ -16,14 +16,22 @@ whole thing in ONE pass with nothing materialized:
 - score, compare against gold, mask padding, and accumulate the per-query
   count in VMEM scratch; a single [C] int32 vector leaves the kernel.
 
-Supports the TransE residual form ``score = ‖q + sign·e_c‖_p`` (the
-head/tail sweeps of TransE — the flagship/bench model) with p ∈ {1, 2}.
-The projection models (TransH/R/D) keep the XLA path; their candidate
-projections are relation-dependent matmuls that XLA already maps to the
-MXU well (eval/scoring.py).
+Three kernels, one per score family, p ∈ {1, 2}:
 
-Numerics note: the caller supplies gold scores computed on gathered rows
-with the same subtract→|·|→sum-over-d expression; reductions are f32.
+- **TransE**  ``‖q + sign·e_c‖``                       — single d-chunk pass;
+- **TransD**  ``‖q + sign·(e_c + (e_c·p_c)·r_p)‖``     — same single pass:
+  the per-entity dot ``e_c·p_c`` is a table property, precomputed ONCE per
+  evaluation into a [E] vector and streamed with the block;
+- **TransH**  ``‖q + sign·(e_c − (w·e_c)·w)‖``         — the dot depends on
+  the (query, candidate) pair, so each block takes two chunked passes:
+  accumulate ``w·e_c`` into VMEM scratch, then the residual norm.
+
+TransR keeps the XLA path: its candidate projection needs the per-query
+[dₑ×dᵣ] matrices resident, which don't fit VMEM at useful chunk sizes.
+
+Numerics note: the caller supplies gold/known scores computed on gathered
+rows with the same d-chunked accumulation order (``*_candidate_scores``),
+so ranks are tie-exact; reductions are f32.
 """
 
 from __future__ import annotations
@@ -72,6 +80,87 @@ def _count_kernel(qt_ref, tab_ref, gold_ref, gid_ref, out_ref, acc_ref, *,
         qc = qt_ref[pl.ds(k * d_chunk, d_chunk), :]         # [DC, C]
         cc = tab_ref[pl.ds(k * d_chunk, d_chunk), :]        # [DC, BLK]
         r = qc[:, :, None] + sign * cc[:, None, :]          # [DC, C, BLK]
+        if p == 1:
+            acc_ref[:] += jnp.sum(jnp.abs(r), axis=0)
+        else:
+            acc_ref[:] += jnp.sum(r * r, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    ids = i * block + jax.lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    better = ((acc_ref[:] < gold_ref[:]) & (ids < n_ent)
+              & (ids != gid_ref[:]))
+    out_ref[:] += jnp.sum(better, axis=1, keepdims=True).astype(jnp.int32)
+
+
+def _count_kernel_transd(qt_ref, rpt_ref, tab_ref, cdot_ref, gold_ref,
+                         gid_ref, out_ref, acc_ref, *, sign: float, p: int,
+                         n_ent: int, d_chunk: int, block: int, C: int):
+    """TransD sweep: residual ``q + sign·(e_c + cdot_c·r_p)`` with the
+    per-entity dot streamed alongside the table block (cdot_ref [8, BLK],
+    row 0 live)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    Dp = qt_ref.shape[0]
+    n_chunks = Dp // d_chunk
+    cdot = cdot_ref[0, :]                                   # [BLK]
+
+    def body(k, _):
+        qc = qt_ref[pl.ds(k * d_chunk, d_chunk), :]         # [DC, C]
+        rpc = rpt_ref[pl.ds(k * d_chunk, d_chunk), :]       # [DC, C]
+        cc = tab_ref[pl.ds(k * d_chunk, d_chunk), :]        # [DC, BLK]
+        r = (qc[:, :, None] + sign * cc[:, None, :]
+             + sign * cdot[None, None, :] * rpc[:, :, None])
+        if p == 1:
+            acc_ref[:] += jnp.sum(jnp.abs(r), axis=0)
+        else:
+            acc_ref[:] += jnp.sum(r * r, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    ids = i * block + jax.lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    better = ((acc_ref[:] < gold_ref[:]) & (ids < n_ent)
+              & (ids != gid_ref[:]))
+    out_ref[:] += jnp.sum(better, axis=1, keepdims=True).astype(jnp.int32)
+
+
+def _count_kernel_transh(qt_ref, wt_ref, tab_ref, gold_ref, gid_ref,
+                         out_ref, acc_ref, dot_ref, *, sign: float, p: int,
+                         n_ent: int, d_chunk: int, block: int, C: int):
+    """TransH sweep: pass 1 accumulates the pairwise dot ``w·e_c`` into
+    VMEM scratch, pass 2 the residual ``q + sign·e_c − sign·dot·w``."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    dot_ref[:] = jnp.zeros_like(dot_ref)
+    Dp = qt_ref.shape[0]
+    n_chunks = Dp // d_chunk
+
+    def dot_body(k, _):
+        wc = wt_ref[pl.ds(k * d_chunk, d_chunk), :]         # [DC, C]
+        cc = tab_ref[pl.ds(k * d_chunk, d_chunk), :]        # [DC, BLK]
+        dot_ref[:] += jnp.sum(wc[:, :, None] * cc[:, None, :], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, dot_body, 0)
+
+    def body(k, _):
+        qc = qt_ref[pl.ds(k * d_chunk, d_chunk), :]
+        wc = wt_ref[pl.ds(k * d_chunk, d_chunk), :]
+        cc = tab_ref[pl.ds(k * d_chunk, d_chunk), :]
+        r = (qc[:, :, None] + sign * cc[:, None, :]
+             - sign * dot_ref[:][None, :, :] * wc[:, :, None])
         if p == 1:
             acc_ref[:] += jnp.sum(jnp.abs(r), axis=0)
         else:
@@ -135,6 +224,108 @@ def count_better_transe(q: jax.Array, table_t: jax.Array, gold: jax.Array,
     return counts[:C, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("sign", "p", "n_ent", "block",
+                                             "interpret"))
+def count_better_transh(q: jax.Array, w: jax.Array, table_t: jax.Array,
+                        gold: jax.Array, gold_ids: jax.Array, sign: float,
+                        p: int, n_ent: int, block: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """TransH variant: per-query normal vectors ``w`` [C, D] project every
+    candidate inside the kernel."""
+    C, D = q.shape
+    Dp, Ep = table_t.shape
+    assert Dp % 8 == 0 and Ep % block == 0, (Dp, Ep, block)
+    Cp = _round_up(max(C, 8), 8)
+    pad_q = ((0, Cp - C), (0, Dp - D))
+    q = jnp.pad(q, pad_q)
+    w = jnp.pad(w, pad_q)
+    if Cp != C:
+        gold = jnp.pad(gold, (0, Cp - C))
+        gold_ids = jnp.pad(gold_ids, (0, Cp - C), constant_values=-1)
+    d_chunk = 8
+    nblocks = Ep // block
+
+    counts = pl.pallas_call(
+        functools.partial(_count_kernel_transh, sign=sign, p=p, n_ent=n_ent,
+                          d_chunk=d_chunk, block=block, C=Cp),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((Dp, Cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, Cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Cp, block), jnp.float32),
+                        pltpu.VMEM((Cp, block), jnp.float32)],
+        interpret=interpret,
+    )(q.astype(jnp.float32).T, w.astype(jnp.float32).T, table_t,
+      gold.astype(jnp.float32)[:, None],
+      gold_ids.astype(jnp.int32)[:, None])
+    return counts[:C, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("sign", "p", "n_ent", "block",
+                                             "interpret"))
+def count_better_transd(q: jax.Array, rp: jax.Array, table_t: jax.Array,
+                        cdot_t: jax.Array, gold: jax.Array,
+                        gold_ids: jax.Array, sign: float, p: int,
+                        n_ent: int, block: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """TransD variant: per-query ``r_p`` [C, D] plus the per-entity
+    transfer dot ``cdot_t`` [8, Ep] (row 0 live; see
+    :func:`transd_prepare_cdot`)."""
+    C, D = q.shape
+    Dp, Ep = table_t.shape
+    assert Dp % 8 == 0 and Ep % block == 0, (Dp, Ep, block)
+    assert cdot_t.shape == (8, Ep), cdot_t.shape
+    Cp = _round_up(max(C, 8), 8)
+    pad_q = ((0, Cp - C), (0, Dp - D))
+    q = jnp.pad(q, pad_q)
+    rp = jnp.pad(rp, pad_q)
+    if Cp != C:
+        gold = jnp.pad(gold, (0, Cp - C))
+        gold_ids = jnp.pad(gold_ids, (0, Cp - C), constant_values=-1)
+    d_chunk = 8
+    nblocks = Ep // block
+
+    counts = pl.pallas_call(
+        functools.partial(_count_kernel_transd, sign=sign, p=p, n_ent=n_ent,
+                          d_chunk=d_chunk, block=block, C=Cp),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((Dp, Cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, Cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Cp, block), jnp.float32)],
+        interpret=interpret,
+    )(q.astype(jnp.float32).T, rp.astype(jnp.float32).T, table_t, cdot_t,
+      gold.astype(jnp.float32)[:, None],
+      gold_ids.astype(jnp.int32)[:, None])
+    return counts[:C, 0]
+
+
 def prepare_table(table: jax.Array, block: int = 512) -> jax.Array:
     """Transpose + zero-pad an entity table [E, D] → [Dp, Ep] for the
     kernel (done once per evaluation; the copy lives in HBM)."""
@@ -156,6 +347,31 @@ def transe_queries(params, h: jax.Array, t: jax.Array, r: jax.Array,
     return jnp.take(R, r, 0) - jnp.take(E, t, 0), 1.0
 
 
+def _chunked_accumulate(res: jax.Array, p: int, d_chunk: int = 8,
+                        absolute: bool = True) -> jax.Array:
+    """Reduce the trailing d-axis in the kernel's order: 8-wide partial
+    sums (|·| or ²) added sequentially across chunks. ``p`` ignored when
+    ``absolute`` is False (plain dot-product accumulation, for the TransH
+    pass-1 mirror)."""
+    D = res.shape[-1]
+    Dp = _round_up(D, d_chunk)
+    if Dp != D:
+        res = jnp.pad(res, [(0, 0)] * (res.ndim - 1) + [(0, Dp - D)])
+    part = res.reshape(res.shape[:-1] + (Dp // d_chunk, d_chunk))
+    if not absolute:
+        part = jnp.sum(part, axis=-1)
+    elif p == 1:
+        part = jnp.sum(jnp.abs(part), axis=-1)
+    else:
+        part = jnp.sum(part * part, axis=-1)
+
+    def body(k, acc):
+        return acc + part[..., k]
+
+    return jax.lax.fori_loop(0, Dp // d_chunk, body,
+                             jnp.zeros(part.shape[:-1], jnp.float32))
+
+
 def transe_candidate_scores(q: jax.Array, params, ids: jax.Array,
                             sign: float, p: int,
                             d_chunk: int = 8) -> jax.Array:
@@ -167,18 +383,87 @@ def transe_candidate_scores(q: jax.Array, params, ids: jax.Array,
     E = params["ent_embeddings"].astype(jnp.float32)
     rows = jnp.take(E, ids, 0)                       # [..., D]
     qb = q if ids.ndim == 1 else q[:, None, :]
-    res = qb + sign * rows
-    D = res.shape[-1]
-    Dp = _round_up(D, d_chunk)
-    if Dp != D:
-        res = jnp.pad(res, [(0, 0)] * (res.ndim - 1) + [(0, Dp - D)])
-    part = res.reshape(res.shape[:-1] + (Dp // d_chunk, d_chunk))
-    if p == 1:
-        part = jnp.sum(jnp.abs(part), axis=-1)       # per-chunk partials
-    else:
-        part = jnp.sum(part * part, axis=-1)
-    # sequential accumulation across chunks = the kernel's fori order
-    def body(k, acc):
-        return acc + part[..., k]
-    return jax.lax.fori_loop(0, Dp // d_chunk, body,
-                             jnp.zeros(part.shape[:-1], jnp.float32))
+    return _chunked_accumulate(qb + sign * rows, p, d_chunk)
+
+
+# --------------------------------------------------------------------------
+# TransH: queries + kernel-mirrored explicit-candidate scoring
+
+
+def transh_queries(params, h: jax.Array, t: jax.Array, r: jax.Array,
+                   replace: str):
+    """(q, w, sign) so candidate scores are ``‖q + sign·(e_c − (w·e_c)w)‖``
+    — mirrors eval/scoring.py's TransH branch. The query-side projection
+    is shared by gold and candidates, so its precision is uncritical."""
+    E = params["ent_embeddings"].astype(jnp.float32)
+    R = params["rel_embeddings"].astype(jnp.float32)
+    w = jnp.take(params["normal_vectors"].astype(jnp.float32), r, 0)
+    if replace == "tail":
+        eh = jnp.take(E, h, 0)
+        q = eh - jnp.sum(eh * w, -1, keepdims=True) * w + jnp.take(R, r, 0)
+        return q, w, -1.0
+    et = jnp.take(E, t, 0)
+    q = jnp.take(R, r, 0) - (et - jnp.sum(et * w, -1, keepdims=True) * w)
+    return q, w, 1.0
+
+
+def transh_candidate_scores(q: jax.Array, w: jax.Array, params,
+                            ids: jax.Array, sign: float, p: int,
+                            d_chunk: int = 8) -> jax.Array:
+    """Kernel-mirrored: the pairwise dot uses the same chunked order as
+    the kernel's pass 1, the residual norm as its pass 2."""
+    E = params["ent_embeddings"].astype(jnp.float32)
+    rows = jnp.take(E, ids, 0)                       # [..., D]
+    qb, wb = (q, w) if ids.ndim == 1 else (q[:, None, :], w[:, None, :])
+    dot = _chunked_accumulate(wb * rows, p, d_chunk, absolute=False)
+    res = qb + sign * rows - sign * dot[..., None] * wb
+    return _chunked_accumulate(res, p, d_chunk)
+
+
+# --------------------------------------------------------------------------
+# TransD: queries + per-entity transfer dot + mirrored scoring
+
+
+def transd_queries(params, h: jax.Array, t: jax.Array, r: jax.Array,
+                   replace: str):
+    """(q, r_p, sign) so candidate scores are
+    ``‖q + sign·(e_c + (e_c·p_c)·r_p)‖`` (p_c = the candidate's transfer
+    vector; its dot is a table property, see transd_prepare_cdot)."""
+    E = params["ent_embeddings"].astype(jnp.float32)
+    EP = params["ent_transfer"].astype(jnp.float32)
+    R = params["rel_embeddings"].astype(jnp.float32)
+    rp = jnp.take(params["rel_transfer"].astype(jnp.float32), r, 0)
+    if replace == "tail":
+        eh = jnp.take(E, h, 0)
+        ehp = jnp.take(EP, h, 0)
+        q = eh + jnp.sum(eh * ehp, -1, keepdims=True) * rp \
+            + jnp.take(R, r, 0)
+        return q, rp, -1.0
+    et = jnp.take(E, t, 0)
+    etp = jnp.take(EP, t, 0)
+    q = jnp.take(R, r, 0) - (et + jnp.sum(et * etp, -1, keepdims=True) * rp)
+    return q, rp, 1.0
+
+
+def transd_prepare_cdot(params, block: int = 512) -> jax.Array:
+    """Per-entity transfer dot ``e_c·p_c`` as the kernel's [8, Ep] operand
+    (row 0 live, rows 1–7 sublane padding). Computed once per evaluation;
+    shared verbatim by the kernel and the explicit-candidate scorer, so no
+    mirroring concern."""
+    E = params["ent_embeddings"].astype(jnp.float32)
+    EP = params["ent_transfer"].astype(jnp.float32)
+    cdot = jnp.sum(E * EP, axis=-1)                  # [E]
+    Ep = _round_up(E.shape[0], block)
+    cdot = jnp.pad(cdot, (0, Ep - E.shape[0]))
+    return jnp.broadcast_to(cdot[None, :], (8, Ep))
+
+
+def transd_candidate_scores(q: jax.Array, rp: jax.Array, params,
+                            cdot_t: jax.Array, ids: jax.Array, sign: float,
+                            p: int, d_chunk: int = 8) -> jax.Array:
+    E = params["ent_embeddings"].astype(jnp.float32)
+    rows = jnp.take(E, ids, 0)
+    cd = jnp.take(cdot_t[0], ids)                    # same values as kernel
+    qb, rpb = (q, rp) if ids.ndim == 1 else (q[:, None, :], rp[:, None, :])
+    res = qb + sign * rows + sign * cd[..., None] * rpb
+    return _chunked_accumulate(res, p, d_chunk)

@@ -83,3 +83,73 @@ def test_link_prediction_pallas_path_matches_generic(monkeypatch):
     for k in res_generic.ranks:
         np.testing.assert_array_equal(res_pallas.ranks[k],
                                       res_generic.ranks[k], err_msg=k)
+
+
+@pytest.mark.parametrize("model_name", ["transd"])
+def test_projection_kernels_match_generic(model_name):
+    """TransD kernel path (interpret) vs the generic XLA evaluator:
+    identical ranks on every metric. (TransH routes to the generic path
+    by default — its kernel measured slower on v5e — so it is covered by
+    the direct kernel test below instead.)"""
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.synth import random_kg
+    from openkeonspark_tpu.eval import link_prediction
+    from openkeonspark_tpu.models import get_model
+    from openkeonspark_tpu.train.step import init_state
+
+    ds = random_kg(n_ent=97, n_rel=6, n_triples=800, n_valid=30, n_test=30,
+                   seed=5)
+    idx = build_kg_index(ds, for_eval=True)
+    cfg = Config(model=model_name, hidden_size=16, eval_chunk=16,
+                 eval_block=32)
+    state = init_state(get_model(model_name), cfg, ds.n_ent, ds.n_rel,
+                       jax.random.key(4))
+
+    res_generic = link_prediction(state.params,
+                                  cfg.replace(use_pallas_eval=False),
+                                  ds, idx)
+    os.environ["OKST_PALLAS_INTERPRET"] = "1"
+    try:
+        res_kernel = link_prediction(state.params, cfg, ds, idx)
+    finally:
+        os.environ.pop("OKST_PALLAS_INTERPRET", None)
+    for k in res_generic.ranks:
+        np.testing.assert_array_equal(res_generic.ranks[k],
+                                      res_kernel.ranks[k],
+                                      err_msg=f"{model_name}/{k}")
+
+
+def test_transh_kernel_direct_matches_generic():
+    """The TransH kernel (kept for completeness; not the default path) vs
+    brute-force NumPy, interpret mode."""
+    from openkeonspark_tpu.ops.pallas_rank import (count_better_transh,
+                                                   transh_candidate_scores,
+                                                   transh_queries)
+    rng = np.random.default_rng(9)
+    E, D, C = 200, 24, 16
+    params = {
+        "ent_embeddings": jnp.asarray(rng.normal(size=(E, D)).astype(np.float32)),
+        "rel_embeddings": jnp.asarray(rng.normal(size=(9, D)).astype(np.float32)),
+        "normal_vectors": jnp.asarray(rng.normal(size=(9, D)).astype(np.float32)),
+    }
+    h = jnp.asarray(rng.integers(0, E, C).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, E, C).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, 9, C).astype(np.int32))
+    tt = prepare_table(params["ent_embeddings"], block=128)
+    for replace, gold_ids in (("tail", t), ("head", h)):
+        q, w, sign = transh_queries(params, h, t, r, replace)
+        gold = transh_candidate_scores(q, w, params, gold_ids, sign, 1)
+        got = np.asarray(count_better_transh(
+            q, w, tt, gold, gold_ids, sign=sign, p=1, n_ent=E, block=128,
+            interpret=True))
+        # NumPy oracle
+        En = np.asarray(params["ent_embeddings"])
+        wn, qn = np.asarray(w), np.asarray(q)
+        dots = wn @ En.T                                   # [C, E]
+        res = (qn[:, None, :] + sign * En[None]
+               - sign * dots[:, :, None] * wn[:, None, :])
+        s = np.abs(res).sum(-1)
+        s[np.arange(C), np.asarray(gold_ids)] = np.inf
+        want = (s < np.asarray(gold)[:, None]).sum(1)
+        np.testing.assert_array_equal(got, want, err_msg=replace)
