@@ -27,7 +27,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "warm-starting from batch n-1's checkpoint")
     # model
     p.add_argument("--model", default="transe",
-                   choices=["transe", "transh", "transr", "transd"])
+                   choices=["transe", "transh", "transr", "transd",
+                            "distmult", "complex"])
     p.add_argument("--hidden_size", type=int, default=200)
     p.add_argument("--ent_size", type=int, default=None)
     p.add_argument("--rel_size", type=int, default=None)

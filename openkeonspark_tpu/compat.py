@@ -32,7 +32,9 @@ from openkeonspark_tpu.config import Config as _Cfg
 
 # model markers so reference code can keep `con.set_model(TransE)`
 TransE, TransH, TransR, TransD = "transe", "transh", "transr", "transd"
-_MODEL_NAMES = {"transe", "transh", "transr", "transd"}
+DistMult, ComplEx = "distmult", "complex"
+_MODEL_NAMES = {"transe", "transh", "transr", "transd", "distmult",
+                "complex"}
 
 
 class Config:

@@ -38,6 +38,8 @@ CANDIDATE_TABLES = {
     "transh": ("ent_embeddings",),
     "transr": ("ent_embeddings",),
     "transd": ("ent_embeddings", "ent_transfer"),
+    "distmult": ("ent_embeddings",),
+    "complex": ("ent_embeddings",),
 }
 
 
@@ -82,6 +84,25 @@ def build_queries(model_name: str, params: Dict[str, jax.Array],
                             preferred_element_type=jnp.float32).astype(dt)
             q = jnp.take(R, r, 0) - pt
         return {"q": q, "m": m}
+    if model_name == "distmult":
+        # score = −Σ h·r·t: both directions reduce to q·e_c with
+        # q = (anchor ⊙ r) — the sweep is one MXU matmul
+        if replace == "tail":
+            return {"q": jnp.take(E, h, 0) * jnp.take(R, r, 0)}
+        return {"q": jnp.take(E, t, 0) * jnp.take(R, r, 0)}
+    if model_name == "complex":
+        # Re⟨h, r, t̄⟩ is bilinear in the raw [2d] entity rows of the
+        # swept slot: q·e_c with the q below (eval/scoring convention:
+        # first d lanes real, last d imaginary)
+        d = E.shape[1] // 2
+        rr, ri = jnp.take(R, r, 0)[:, :d], jnp.take(R, r, 0)[:, d:]
+        if replace == "tail":
+            hr, hi = jnp.take(E, h, 0)[:, :d], jnp.take(E, h, 0)[:, d:]
+            q = jnp.concatenate([hr * rr - hi * ri, hi * rr + hr * ri], -1)
+        else:
+            tr, ti = jnp.take(E, t, 0)[:, :d], jnp.take(E, t, 0)[:, d:]
+            q = jnp.concatenate([rr * tr + ri * ti, rr * ti - ri * tr], -1)
+        return {"q": q}
     if model_name == "transd":
         rp = jnp.take(params["rel_transfer"].astype(dt), r, 0)
         EP = params["ent_transfer"].astype(dt)
@@ -134,6 +155,14 @@ def score_block(model_name: str, q: Dict[str, jax.Array],
         pce = jnp.einsum("ed,cdk->cek", ce, q["m"],
                          preferred_element_type=jnp.float32).astype(dt)
         return pnorm(q["q"][:, None, :] + sign * pce, p)
+
+    if model_name in ("distmult", "complex"):
+        # −(q @ e_cᵀ), one MXU matmul for the whole block. HIGHEST keeps
+        # the sweep at f32: the known-true filter correction scores its
+        # ids through the elementwise path, and the default bf16 multiply
+        # drifts ~1e-2 — enough to flip filtered ranks on near-ties.
+        return -jnp.dot(q["q"], ce.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST).astype(dt)
 
     if model_name == "transd":
         cep = cand["ent_transfer"].astype(dt)

@@ -40,6 +40,15 @@ def dense_score(model_name, cfg, params, h, t, r):
         ph = jnp.einsum("bd,bdk->bk", eh, m)
         pt = jnp.einsum("bd,bdk->bk", et, m)
         return norm(ph + er - pt)
+    if model_name == "distmult":
+        return -jnp.sum(eh * er * et, -1)
+    if model_name == "complex":
+        d = eh.shape[-1] // 2
+        hr, hi = eh[:, :d], eh[:, d:]
+        rr, ri = er[:, :d], er[:, d:]
+        tr, ti = et[:, :d], et[:, d:]
+        return -jnp.sum(hr * rr * tr + hi * rr * ti + hr * ri * ti
+                        - hi * ri * tr, -1)
     if model_name == "transd":
         hp = params["ent_transfer"][h]
         tp = params["ent_transfer"][t]

@@ -59,7 +59,7 @@ def oracle_ranks(model_name, cfg, dense, ds, replace):
 
 
 @pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
-                                        "transd"])
+                                        "transd", "distmult", "complex"])
 def test_link_prediction_matches_dense_oracle(model_name):
     kw = {}
     if model_name == "transr":

@@ -21,7 +21,8 @@ from openkeonspark_tpu.train.step import (build_train_step, init_state,
 from oracle import (dense_adam_step, dense_loss, dense_sgd_step,
                     transe_manual_grad)
 
-MODELS = ["transe", "transh", "transr", "transd"]
+MODELS = ["transe", "transh", "transr", "transd", "distmult",
+          "complex"]
 
 
 def setup(model_name, loss_mode="mean_neg", opt="sgd", p_norm=1):
