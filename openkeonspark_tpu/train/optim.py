@@ -117,6 +117,11 @@ class SparseAdam:
             "v": {k: jnp.zeros_like(v) for k, v in params.items()},
         }
 
+    # tables up to this many elements take the dense-G path (the scratch
+    # gradient table costs rows·dim f32 — 256 MB at the cap); bigger
+    # tables fall back to sort-aggregation to bound memory
+    DENSE_MOMENT_MAX_ELEMS = 64 * 1024 * 1024
+
     def apply(self, params, state, updates: Updates, step):
         new_params = dict(params)
         m_state = dict(state["m"])
@@ -130,6 +135,37 @@ class SparseAdam:
                 ids = jnp.concatenate([i for i, _ in pairs])
                 g = jnp.concatenate([gg for _, gg in pairs])
             rows = params[table].shape[0]
+
+            if params[table].size <= self.DENSE_MOMENT_MAX_ELEMS:
+                # dense-G two-pass: scatter-sum the gradients and a
+                # touched mask, then one dense masked moment/param update.
+                # Avoids the argsort+segment_sum aggregation (segment_sum
+                # is itself a scatter) — the whole lazy update is two
+                # scatters + streaming elementwise over the tables.
+                valid = (ids < rows)[:, None]
+                idc = jnp.minimum(ids, rows - 1)
+                G = jnp.zeros_like(params[table], shape=(rows,) +
+                                   params[table].shape[1:],
+                                   dtype=jnp.float32)
+                G = G.at[idc].add(jnp.where(valid, g, 0.0))
+                touched = jnp.zeros((rows, 1), jnp.float32).at[idc].add(
+                    jnp.where(valid[:, :1], 1.0, 0.0)) > 0
+                m_new = jnp.where(touched,
+                                  self.b1 * m_state[table]
+                                  + (1.0 - self.b1) * G, m_state[table])
+                v_new = jnp.where(touched,
+                                  self.b2 * v_state[table]
+                                  + (1.0 - self.b2) * (G * G),
+                                  v_state[table])
+                delta = jnp.where(
+                    touched, -lr_t * m_new / (jnp.sqrt(v_new) + self.eps),
+                    0.0)
+                m_state[table] = m_new
+                v_state[table] = v_new
+                new_params[table] = (params[table]
+                                     + delta.astype(params[table].dtype))
+                continue
+
             # `rows` itself is the discard sentinel (also used by
             # aggregate_duplicates for empty slots)
             uids, agg = aggregate_duplicates(ids, g, sentinel=rows)
