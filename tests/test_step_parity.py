@@ -164,3 +164,34 @@ def test_loss_modes_differ():
     l2 = float(dense_loss("transe", cfg.replace(loss_mode="pairwise"),
                           dense0, h, t, r, B))
     assert l1 != l2
+
+
+def test_adam_dense_and_sorted_paths_agree():
+    """The dense-G Adam path (small tables) and the sort-aggregation path
+    (huge tables) implement the same lazy update."""
+    from openkeonspark_tpu.train.optim import SparseAdam
+    ds, cfg, model, sampler, state = setup("transe", opt="adam")
+    B = 32
+    step_fn = jax.jit(build_train_step(model, cfg, sampler, B))
+    key = jax.random.key(77)
+    a, _ = step_fn(state, sampler, key)
+
+    old = SparseAdam.DENSE_MOMENT_MAX_ELEMS
+    SparseAdam.DENSE_MOMENT_MAX_ELEMS = 0          # force the sort path
+    try:
+        step_fn2 = jax.jit(build_train_step(model, cfg, sampler, B))
+        state2 = init_state(model, cfg, ds.n_ent, ds.n_rel,
+                            jax.random.key(5))
+        b, _ = step_fn2(state2, sampler, key)
+    finally:
+        SparseAdam.DENSE_MOMENT_MAX_ELEMS = old
+    for k in a.params:
+        np.testing.assert_allclose(np.asarray(a.params[k]),
+                                   np.asarray(b.params[k]), rtol=1e-6,
+                                   atol=1e-7, err_msg=k)
+    for mv in ("m", "v"):
+        for k in a.opt_state[mv]:
+            np.testing.assert_allclose(np.asarray(a.opt_state[mv][k]),
+                                       np.asarray(b.opt_state[mv][k]),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"{mv}/{k}")
