@@ -57,7 +57,7 @@ class Config:
     valid_every: int = 0             # epochs between validation accuracy checks (0=off)
     early_stop_patience: int = 5     # checks without improvement before stopping
     early_stop_min_delta: float = 0.0
-    eval_chunk: int = 64             # test triples scored per eval step
+    eval_chunk: int = 256            # test triples ranked per scanned chunk
     eval_block: int = 1024           # candidate entities per scoring block
     eval_group_elems: int = 1 << 25  # known-matrix elements per dispatch
     #   group (queries × k_max); bounds host/device memory for huge splits
