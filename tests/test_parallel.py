@@ -88,7 +88,8 @@ def test_data_sharding_trains_and_stays_synced(kg):
             per_dev[tuple(s.index[0].indices(ent.shape[0]))])
 
 
-@pytest.mark.parametrize("model_name", ["transe", "transd"])
+@pytest.mark.parametrize("model_name", ["transe", "transd", "distmult",
+                                        "complex"])
 def test_sharded_eval_matches_single_device(kg, model_name):
     """Candidate axis over 'model', queries over 'data': ranks must equal
     the single-device evaluator exactly."""
@@ -159,3 +160,32 @@ def test_data_sharding_gradient_sum_semantics(kg):
     pb = strip_padding(b.params, specs)
     for k in pa:
         np.testing.assert_allclose(pb[k], pa[k], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model_name", ["distmult", "complex"])
+def test_bilinear_models_shard_bitwise(kg, model_name):
+    """The bilinear additions train identically sharded vs single-device
+    (model-agnostic machinery, but the 2d-wide ComplEx tables and negated
+    scores deserve their own check)."""
+    ds, idx = kg
+    cfg = Config(model=model_name, hidden_size=16, alpha=0.05,
+                 negative_ent=2, negative_rel=1)
+    model = get_model(cfg.model)
+    sampler = DeviceSampler.build(ds, idx)
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
+                       pad_to_multiple=2)
+    mesh = make_mesh((1, 2))
+    step_ref = jax.jit(build_train_step(model, cfg, sampler, 64))
+    step_sh = jax.jit(build_sharded_train_step(
+        model, cfg, shard_sampler(sampler, mesh), 64, mesh))
+    a, b = state, shard_state(state, mesh)
+    for i in range(3):
+        a, la = step_ref(a, sampler, jax.random.key(i))
+        b, lb = step_sh(b, shard_sampler(sampler, mesh), jax.random.key(i))
+    assert float(la) == pytest.approx(float(lb), rel=1e-6)
+    specs = model.tables(cfg, ds.n_ent, ds.n_rel)
+    pa = strip_padding(a.params, specs)
+    pb = strip_padding(b.params, specs)
+    for k in pa:
+        np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=f"{model_name}/{k}")
