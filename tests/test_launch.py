@@ -1,0 +1,57 @@
+"""Multi-host launcher end-to-end: two REAL processes form a
+jax.distributed group over localhost and train on a (2, 2) mesh — the
+closest single-machine validation of the multi-host path (the reference's
+spark-submit equivalent, SURVEY.md §2.4)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training(tmp_path):
+    from openkeonspark_tpu.data.dataset import save_dataset
+    from openkeonspark_tpu.data.synth import random_kg
+    kg_dir = str(tmp_path / "kg")
+    save_dataset(random_kg(n_ent=80, n_rel=5, n_triples=800, n_valid=30,
+                           n_test=30, seed=4), kg_dir)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # keep the repo importable but drop any site dir that forces another
+    # backend
+    env["PYTHONPATH"] = REPO
+
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "openkeonspark_tpu.cli.launch",
+             "--coordinator", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(pid),
+             "--mesh_data", "-1", "--mesh_model", "2",
+             "--input", kg_dir, "--output", str(tmp_path / "out"),
+             "--model", "transe", "--hidden_size", "8",
+             "--alpha", "0.1", "--margin", "1.0",
+             "--train_times", "2", "--nbatches", "5",
+             "--negative_ent", "1"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    # only process 0 echoes; it must report both epochs and the mesh
+    assert "mesh=(2,2)" in outs[0], outs[0][-2000:]
+    assert "epoch=1" in outs[0], outs[0][-2000:]
