@@ -26,8 +26,7 @@ when mesh=(1,1))."""
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
