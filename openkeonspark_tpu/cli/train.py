@@ -57,16 +57,39 @@ def run(cfg: Config, echo=print) -> dict:
                        jax.random.key(cfg.seed),
                        pad_to_multiple=m_axis if use_mesh else 1)
 
-    # incremental warm start from the previous batch's checkpoint
-    from openkeonspark_tpu.ckpt import warm_start_from, warm_start_path
-    prev = warm_start_path(cfg.out_path, cfg.batch_number) \
-        if cfg.batch_number is not None else None
-    if prev:
-        def init_fn(m, c, ne, nr):
-            return init_state(m, c, ne, nr, jax.random.key(c.seed),
-                              pad_to_multiple=m_axis if use_mesh else 1)
-        state, manifest = warm_start_from(state, prev, model, cfg, init_fn)
-        echo(f"warm start from {prev} (step {int(state.step)})")
+    # crash recovery (reference: MonitoredTrainingSession auto-restores
+    # the latest checkpoint in checkpoint_dir on restart, SURVEY.md §5):
+    # if THIS run's output dir already has a checkpoint, resume from it
+    # and only train the remaining epochs — data order replays exactly
+    # (train/loop keys derive from the restored global step)
+    from openkeonspark_tpu.ckpt import (CheckpointManager, latest_step,
+                                        warm_start_from, warm_start_path)
+    ls = latest_step(out_dir) if out_dir else None
+    if ls is not None:
+        state, _ = CheckpointManager(out_dir).restore(state, step=ls)
+        resumed = int(state.step)
+        # epochs completed IN THIS RUN: global step minus the warm-start
+        # baseline (incremental batches carry the step counter across)
+        base = 0
+        if cfg.batch_number is not None:
+            prev = warm_start_path(cfg.out_path, cfg.batch_number)
+            if prev:
+                base = latest_step(prev) or 0
+        done = max(0, resumed - base) // max(cfg.nbatches, 1)
+        cfg = cfg.replace(train_times=max(0, cfg.train_times - done))
+        echo(f"resumed from {out_dir} step {resumed} "
+             f"({done} epochs done, {cfg.train_times} remaining)")
+    else:
+        # incremental warm start from the previous batch's checkpoint
+        prev = warm_start_path(cfg.out_path, cfg.batch_number) \
+            if cfg.batch_number is not None else None
+        if prev:
+            def init_fn(m, c, ne, nr):
+                return init_state(m, c, ne, nr, jax.random.key(c.seed),
+                                  pad_to_multiple=m_axis if use_mesh else 1)
+            state, manifest = warm_start_from(state, prev, model, cfg,
+                                              init_fn)
+            echo(f"warm start from {prev} (step {int(state.step)})")
 
     step_builder = None
     if use_mesh:

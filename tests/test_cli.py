@@ -70,3 +70,41 @@ def test_cli_evaluate_from_checkpoint(tmp_path, capsys):
     assert "restored step" in out
     assert "averaged(filter)" in out
     assert "top-4 tails" in out
+
+
+def test_cli_auto_resume_matches_uninterrupted(tmp_path):
+    """Crash recovery (reference: MonitoredTrainingSession restores the
+    latest checkpoint in checkpoint_dir): a run interrupted after 2 epochs
+    and re-launched with the same flags must end EXACTLY where the
+    uninterrupted run ends — same step, same exported embeddings."""
+    import json
+    import numpy as np
+    from openkeonspark_tpu.cli.train import run
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.dataset import save_dataset
+    from openkeonspark_tpu.data.synth import random_kg
+
+    kg_dir = str(tmp_path / "kg")
+    save_dataset(random_kg(n_ent=70, n_rel=4, n_triples=700, n_valid=30,
+                           n_test=30, seed=6), kg_dir)
+    base = dict(model="transe", hidden_size=8, alpha=0.05, margin=1.0,
+                negative_ent=1, nbatches=5, steps_per_scan=5,
+                in_path=kg_dir, log_every=100)
+
+    full = Config(**base, train_times=4, out_path=str(tmp_path / "full"))
+    run(full, echo=lambda *_: None)
+
+    # "crash" after 2 epochs, then re-launch with the original flags
+    part = Config(**base, train_times=2, out_path=str(tmp_path / "re"))
+    run(part, echo=lambda *_: None)
+    msgs = []
+    again = Config(**base, train_times=4, out_path=str(tmp_path / "re"))
+    out = run(again, echo=msgs.append)
+    assert any("resumed from" in str(m) for m in msgs), msgs[:3]
+    assert out["steps"] == 4 * 5
+
+    a = json.load(open(tmp_path / "full" / "embedding.vec.json"))
+    b = json.load(open(tmp_path / "re" / "embedding.vec.json"))
+    for k in a:
+        np.testing.assert_array_equal(np.array(a[k]), np.array(b[k]),
+                                      err_msg=k)
