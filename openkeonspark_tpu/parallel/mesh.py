@@ -50,6 +50,18 @@ def table_spec() -> P:
     return P(MODEL, None)
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place process-local data as a global array on a (possibly
+    multi-process) mesh. ``jax.device_put`` requires an addressable
+    sharding, so true multi-host runs (cli/launch.py) need the
+    callback form — every process holds identical full copies (fresh
+    init with the same seed, or an orbax restore), so slicing locally
+    yields a consistent global array."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place params + opt state row-sharded over 'model'. Table row counts
     must be divisible by the model axis (init with
@@ -59,12 +71,12 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
     def put_tables(tree):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, tspec) if getattr(x, "ndim", 0) == 2
-            else jax.device_put(x, rspec), tree)
+            lambda x: _put_global(x, tspec) if getattr(x, "ndim", 0) == 2
+            else _put_global(x, rspec), tree)
 
     return TrainState(params=put_tables(state.params),
                       opt_state=put_tables(state.opt_state),
-                      step=jax.device_put(state.step, rspec))
+                      step=_put_global(state.step, rspec))
 
 
 def shard_sampler(sampler: DeviceSampler, mesh: Mesh) -> DeviceSampler:
@@ -76,5 +88,6 @@ def shard_sampler(sampler: DeviceSampler, mesh: Mesh) -> DeviceSampler:
     larger-scale follow-up (DESIGN.md)."""
     rspec = NamedSharding(mesh, P())
     children, aux = sampler.tree_flatten()
-    placed = tuple(jax.device_put(c, rspec) for c in children)
+    placed = jax.tree_util.tree_map(lambda c: _put_global(c, rspec),
+                                    children)
     return DeviceSampler.tree_unflatten(aux, placed)

@@ -55,3 +55,27 @@ def test_two_process_distributed_training(tmp_path):
     # only process 0 echoes; it must report both epochs and the mesh
     assert "mesh=(2,2)" in outs[0], outs[0][-2000:]
     assert "epoch=1" in outs[0], outs[0][-2000:]
+
+    # crash recovery across processes: re-launch with more epochs — the
+    # group must restore the distributed checkpoint and train only the
+    # remaining epochs (multi-process orbax restore + global re-sharding)
+    port2 = _free_port()
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "openkeonspark_tpu.cli.launch",
+             "--coordinator", f"localhost:{port2}",
+             "--num_processes", "2", "--process_id", str(pid),
+             "--mesh_data", "-1", "--mesh_model", "2",
+             "--input", kg_dir, "--output", str(tmp_path / "out"),
+             "--model", "transe", "--hidden_size", "8",
+             "--alpha", "0.1", "--margin", "1.0",
+             "--train_times", "4", "--nbatches", "5",
+             "--negative_ent", "1"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert "resumed from" in outs[0], outs[0][-2000:]
+    assert "2 remaining" in outs[0], outs[0][-2000:]
