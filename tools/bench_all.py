@@ -12,6 +12,8 @@ memory profile is what the meter needs):
 4. TransR d_e=200 d_r=100, FB15K shape (15k ents / 1345 rels / 483k triples)
 5. TransE d=256, DBpedia scale (2M ents / 600 rels / 10M triples),
    edge-partitioned draw (single-chip here; multi-host via cli/launch.py)
+6. DistMult d=200, FB15K-237 shape (beyond-parity model)
+7. ComplEx d=100 (2·100 table lanes), FB15K-237 shape (beyond-parity)
 
 Prints one JSON line per config.
 """
@@ -34,6 +36,10 @@ CONFIGS = {
             n_train=483142, nbatches=100),
     5: dict(model="transe", d=256, n_ent=2_000_000, n_rel=600,
             n_train=10_000_000, nbatches=1000),
+    6: dict(model="distmult", d=200, n_ent=14541, n_rel=237,
+            n_train=272115, nbatches=100),
+    7: dict(model="complex", d=100, n_ent=14541, n_rel=237,
+            n_train=272115, nbatches=100),
 }
 
 
