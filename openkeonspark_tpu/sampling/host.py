@@ -154,25 +154,45 @@ class HostSampler:
 class HostPipeline:
     """Double-buffered prefetch: a worker thread keeps ``depth`` sampled
     batches device-resident ahead of the consumer (SURVEY.md §7 "Host
-    sampler ↔ device overlap")."""
+    sampler ↔ device overlap").
+
+    With ``group_sizes`` the worker stacks that many consecutive batches
+    per item (cycling through the list) and ships ONE [S, …] pytree per
+    transfer — the consumer scans the group on device in a single step
+    call, amortizing the host→device round trip S× (it dominated the
+    host-sampler mode's step time on remote-attached devices)."""
 
     def __init__(self, sampler: HostSampler, batch_size: int,
                  negative_ent: int, negative_rel: int, bern: bool,
                  seed: int = 0, depth: int = 2,
-                 partition: Optional[Tuple[int, int]] = None):
+                 partition: Optional[Tuple[int, int]] = None,
+                 group_sizes: Optional[list] = None):
         import jax
+        import numpy as _np
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
 
+        def one(s):
+            return sampler.sample(s, batch_size, negative_ent,
+                                  negative_rel, bern, partition)
+
         def worker():
             s = seed
+            gi = 0
             while not self._stop.is_set():
-                batch = sampler.sample(s, batch_size, negative_ent,
-                                       negative_rel, bern, partition)
+                if group_sizes:
+                    size = group_sizes[gi % len(group_sizes)]
+                    gi += 1
+                    singles = [one(s + k) for k in range(size)]
+                    s += size
+                    batch = jax.tree_util.tree_map(
+                        lambda *xs: _np.stack(xs), *singles)
+                else:
+                    batch = one(s)
+                    s += 1
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x) if x is not None else None,
                     batch)
-                s += 1
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.1)

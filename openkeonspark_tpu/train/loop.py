@@ -106,13 +106,20 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
 
     host_pipe = None
     if cfg.sampler == "host":
-        # C++ host sampler + prefetch pipeline (sampling/host.py)
+        # C++ host sampler + prefetch pipeline (sampling/host.py): groups
+        # of steps_per_scan batches ship as ONE stacked transfer and scan
+        # on device — the per-step host→device round trip dominated
+        # otherwise
         from openkeonspark_tpu.sampling.host import HostPipeline, HostSampler
-        from openkeonspark_tpu.train.step import build_host_batch_step
+        from openkeonspark_tpu.train.step import build_host_scan_steps
         host = HostSampler(ds, index, n_threads=cfg.work_threads)
+        sps_h = max(1, min(cfg.steps_per_scan, cfg.nbatches))
+        nf_h, rem_h = divmod(cfg.nbatches, sps_h)
+        host_groups = [sps_h] * nf_h + ([rem_h] if rem_h else [])
         host_pipe = HostPipeline(host, batch_size, cfg.negative_ent,
-                                 cfg.negative_rel, cfg.bern, seed=cfg.seed)
-        host_step = build_host_batch_step(model, cfg)
+                                 cfg.negative_rel, cfg.bern, seed=cfg.seed,
+                                 group_sizes=host_groups)
+        host_step = build_host_scan_steps(model, cfg)
     else:
         sampler = DeviceSampler.build(ds, index)
         build = step_builder or build_train_step
@@ -158,9 +165,10 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
             t0 = time.perf_counter()
             losses = []
             if host_pipe is not None:
-                for _ in range(cfg.nbatches):
+                for size in host_groups:
                     state, loss = host_step(state, host_pipe.next())
-                    losses.append(loss)
+                    # group mean weighted to an epoch mean over nbatches
+                    losses.extend([loss] * size)
             else:
                 for _ in range(n_full):
                     sub = jax.random.fold_in(key_base, step0 + scan_step)

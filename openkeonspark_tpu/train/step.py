@@ -245,6 +245,26 @@ def build_host_batch_step(model: KGEModel, cfg: Config) -> Callable:
     return step_fn
 
 
+def build_host_scan_steps(model: KGEModel, cfg: Config) -> Callable:
+    """Scan over a pre-sampled batch group ([S, …]-stacked SampledBatch
+    from ``HostPipeline(group_sizes=…)``): (state, batches) → (state,
+    mean_loss). One host call and one transfer advance S steps."""
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState, batches: SampledBatch):
+        def body(st, b):
+            loss, updates = loss_and_row_grads(model, cfg, st.params, b)
+            params, opt_state = opt.apply(st.params, st.opt_state, updates,
+                                          st.step)
+            return TrainState(params, opt_state, st.step + 1), loss
+
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, jnp.mean(losses)
+
+    return run
+
+
 def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
     """Fuse ``steps`` train steps into one jitted host call via lax.scan.
     Returns (state, sampler, key) → (state, mean_loss); the sampler rides
