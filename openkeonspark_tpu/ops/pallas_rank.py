@@ -31,7 +31,12 @@ TransR keeps the XLA path: its candidate projection needs the per-query
 
 Numerics note: the caller supplies gold/known scores computed on gathered
 rows with the same d-chunked accumulation order (``*_candidate_scores``),
-so ranks are tie-exact; reductions are f32.
+so ranks are tie-exact WITHIN this path; reductions are f32. Measured on
+v5e: vs the generic XLA evaluator (different-but-also-self-consistent
+reduction order), ~0.1% of queries differ by ±1 rank from float near-ties
+— metrically negligible and inherent to comparing two float orderings
+(interpret-mode tests, where both paths run the same arithmetic, agree
+exactly).
 """
 
 from __future__ import annotations
