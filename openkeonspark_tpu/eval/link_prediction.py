@@ -283,94 +283,83 @@ def _rank_scan_kernel(params, table_t, cdot_t, kvals, h, t, r, gold, koff,
     return raw, filt
 
 
-def _count_projected(projT, q, gold, koff, kcnt, kvals, sign: float,
-                     p: int, block: int, nblocks: int, n_ent: int,
-                     k_max: int):
-    """TransE-form rank count over an (already projected) candidate table
-    [Epad, d]: gold extracted from the sweep, known-true correction from
-    device-built windows. Traceable core for the relation-grouped TransR
-    path."""
-    C = q.shape[0]
+def _count_projected(projT_k, projT, q, gold, koff, kcnt, kvals,
+                     sign: float, p: int, n_ent: int, k_max: int,
+                     block: int, interpret: bool):
+    """TransE-form rank count over an (already projected) candidate table:
+    the Pallas fused kernel sweeps the prepared [Dp, Ep] view ``projT_k``;
+    gold and known-true scores mirror its d-chunked accumulation on rows
+    gathered from ``projT`` — tie-exact within the path."""
+    from openkeonspark_tpu.ops.pallas_rank import (count_better_transe,
+                                                   residual_scores)
+    rows = projT.shape[0]
+    gold_rows = jnp.take(projT, gold, axis=0)
+    gold_s = residual_scores(q, gold_rows, sign, p)
+    raw = count_better_transe(q, projT_k, gold_s, gold, sign=sign, p=p,
+                              n_ent=n_ent, block=block, interpret=interpret)
     known = _known_window(kvals, koff, kcnt, k_max, n_ent)
-
-    def gold_body(acc, b):
-        blk = jax.lax.dynamic_slice_in_dim(projT, b * block, block, 0)
-        s = _pnorm_scores(q, blk, sign, p)
-        ids = b * block + jnp.arange(block, dtype=jnp.int32)[None, :]
-        return acc + jnp.sum(jnp.where(ids == gold[:, None], s, 0.0),
-                             axis=1), None
-
-    gold_s, _ = jax.lax.scan(gold_body, jnp.zeros((C,), jnp.float32),
-                             jnp.arange(nblocks))
-
-    def count_body(raw, b):
-        blk = jax.lax.dynamic_slice_in_dim(projT, b * block, block, 0)
-        s = _pnorm_scores(q, blk, sign, p)
-        ids = b * block + jnp.arange(block, dtype=jnp.int32)[None, :]
-        ok = (s < gold_s[:, None]) & (ids < n_ent)
-        return raw + jnp.sum(ok, axis=1).astype(jnp.int32), None
-
-    raw, _ = jax.lax.scan(count_body, jnp.zeros((C,), jnp.int32),
-                          jnp.arange(nblocks))
-
-    kn = jnp.minimum(known, jnp.int32(projT.shape[0] - 1))
-    krows = jnp.take(projT, kn, axis=0)                  # [C, K, d]
-    ks = jnp.sum(jnp.abs(q[:, None, :] + sign * krows)
-                 if p == 1 else (q[:, None, :] + sign * krows) ** 2,
-                 axis=-1)
+    kn = jnp.minimum(known, jnp.int32(rows - 1))
+    ks = residual_scores(q, jnp.take(projT, kn, axis=0), sign, p)
     kvalid = (known < n_ent) & (known != gold[:, None])
     known_better = jnp.sum((ks < gold_s[:, None]) & kvalid,
                            axis=1).astype(jnp.int32)
     return raw, raw - known_better
 
 
-def _pnorm_scores(q, blk, sign, p):
-    r = q[:, None, :] + sign * blk[None, :, :]
-    return (jnp.sum(jnp.abs(r), axis=-1) if p == 1
-            else jnp.sum(r * r, axis=-1)).astype(jnp.float32)
-
-
-@partial(jax.jit, static_argnames=("block", "nblocks", "n_ent", "k_max",
-                                   "p", "de", "dr"))
-def _rank_scan_transr(params_pad, kvals_t, kvals_h, rel, h, t, ot, ct, oh,
-                      ch, block: int, nblocks: int, n_ent: int, k_max: int,
-                      p: int, de: int, dr: int):
-    """Relation-grouped TransR ranking: every chunk shares ONE relation, so
-    the candidate projection is a single [Epad, dₑ]·[dₑ×dᵣ] MXU matmul per
-    chunk instead of a per-(query, candidate) batched matvec — removes the
-    O(C·E·dₑ·dᵣ) redundancy that made generic TransR eval ~20× slower than
-    the other models (the reference's per-triple protocol has the same
-    redundancy). Both directions reuse the chunk's projected table."""
+@partial(jax.jit, static_argnames=("model_name", "block", "n_ent", "k_max",
+                                   "p", "de", "dr", "interpret"))
+def _rank_scan_grouped(params_pad, kvals_t, kvals_h, rel, h, t, ot, ct, oh,
+                       ch, model_name: str, block: int, n_ent: int,
+                       k_max: int, p: int, de: int, dr: int,
+                       interpret: bool):
+    """Relation-grouped ranking for models whose candidate projection
+    depends only on the relation (TransR: e·Mᵣ; TransH: e − (wᵣ·e)wᵣ):
+    every chunk shares ONE relation, so the whole entity table is
+    projected once per chunk (an MXU matmul / matvec) and the sweep
+    becomes TransE-form over the projected table — handled by the fused
+    Pallas kernel. Removes the O(C·E·proj) per-(query, candidate)
+    redundancy of the generic path (the reference's per-triple protocol
+    has the same redundancy). Both directions reuse the chunk's
+    projection."""
+    from openkeonspark_tpu.ops.pallas_rank import prepare_table
     E = params_pad["ent_embeddings"].astype(jnp.float32)
+
+    def project(rho):
+        if model_name == "transr":
+            M = params_pad["transfer_matrix"][rho].reshape(de, dr).astype(
+                jnp.float32)
+            return jnp.dot(E, M, preferred_element_type=jnp.float32)
+        w = params_pad["normal_vectors"][rho].astype(jnp.float32)
+        return E - jnp.dot(E, w,
+                           preferred_element_type=jnp.float32)[:, None] * w
 
     def body(_, inp):
         rho, hq, tq, kot, kct, koh, kch = inp
-        M = params_pad["transfer_matrix"][rho].reshape(de, dr).astype(
-            jnp.float32)
-        projT = jnp.dot(E, M, preferred_element_type=jnp.float32)
+        projT = project(rho)
+        projT_k = prepare_table(projT, block=block)
         rvec = params_pad["rel_embeddings"][rho].astype(jnp.float32)
         q_t = jnp.take(projT, hq, axis=0) + rvec[None, :]
         q_h = rvec[None, :] - jnp.take(projT, tq, axis=0)
-        raw_t, filt_t = _count_projected(projT, q_t, tq, kot, kct, kvals_t,
-                                         -1.0, p, block, nblocks, n_ent,
-                                         k_max)
-        raw_h, filt_h = _count_projected(projT, q_h, hq, koh, kch, kvals_h,
-                                         1.0, p, block, nblocks, n_ent,
-                                         k_max)
+        raw_t, filt_t = _count_projected(projT_k, projT, q_t, tq, kot, kct,
+                                         kvals_t, -1.0, p, n_ent, k_max,
+                                         block, interpret)
+        raw_h, filt_h = _count_projected(projT_k, projT, q_h, hq, koh, kch,
+                                         kvals_h, 1.0, p, n_ent, k_max,
+                                         block, interpret)
         return None, (raw_t, filt_t, raw_h, filt_h)
 
     _, out = jax.lax.scan(body, None, (rel, h, t, ot, ct, oh, ch))
     return out
 
 
-def _transr_link_prediction(params, cfg: Config, ds, index,
-                            triples: np.ndarray, log=None):
-    """Driver for the relation-grouped TransR path: sort test triples by
-    relation, emit fixed-size single-relation chunks (the last chunk of
-    each relation padded with its first triple), one scan dispatch per
-    group of chunks."""
+def _grouped_link_prediction(params, cfg: Config, ds, index,
+                             triples: np.ndarray, log=None):
+    """Driver for the relation-grouped path (TransR, TransH): sort test
+    triples by relation, emit fixed-size single-relation chunks (the last
+    chunk of each relation padded with its first triple), one scan
+    dispatch per group of chunks."""
     model = get_model(cfg.model)
-    block = cfg.eval_block
+    block = min(max(cfg.eval_block, 512), 1024)
     chunk = min(cfg.eval_chunk, 64)  # small chunks bound padding waste
     params_pad, nblocks = _pad_entity_tables(model, params, cfg, ds.n_ent,
                                              ds.n_rel, block)
@@ -403,11 +392,12 @@ def _transr_link_prediction(params, cfg: Config, ds, index,
     rel = np.array([c[0] for c in chunks], np.int32)
     posm = np.stack([c[1] for c in chunks])              # [NC, chunk]
     g = lambda a: jnp.asarray(a[posm])
-    out = _rank_scan_transr(
+    out = _rank_scan_grouped(
         params_pad, kvals_t, kvals_h, jnp.asarray(rel),
         g(h_all), g(t_all), g(offt), g(cntt), g(offh), g(cnth),
-        block=block, nblocks=nblocks, n_ent=ds.n_ent, k_max=k_max,
-        p=cfg.p_norm, de=cfg.d_ent, dr=cfg.d_rel)
+        model_name=cfg.model, block=block, n_ent=ds.n_ent, k_max=k_max,
+        p=cfg.p_norm, de=cfg.d_ent, dr=cfg.d_rel,
+        interpret=jax.default_backend() == "cpu")
 
     ranks = {k: np.empty(n, np.int64) for k in
              ("raw_head", "raw_tail", "filt_head", "filt_tail")}
@@ -419,7 +409,7 @@ def _transr_link_prediction(params, cfg: Config, ds, index,
             # assignments write identical values
             ranks[name][pos] = arr[ci]
     if log is not None:
-        log(f"link-pred (transr grouped) {n}/{n}")
+        log(f"link-pred ({cfg.model} grouped) {n}/{n}")
     return ranks
 
 
@@ -468,9 +458,9 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
         "link_prediction needs an eval index (build_kg_index(for_eval=True))"
 
     model = get_model(cfg.model)
-    if cfg.model == "transr":
-        ranks = _transr_link_prediction(params, cfg, ds, index, triples,
-                                        log=log)
+    if cfg.model in ("transr", "transh"):
+        ranks = _grouped_link_prediction(params, cfg, ds, index, triples,
+                                         log=log)
         return LinkPredictionResult(
             raw_head=DirectionMetrics.from_ranks(ranks["raw_head"]),
             raw_tail=DirectionMetrics.from_ranks(ranks["raw_tail"]),

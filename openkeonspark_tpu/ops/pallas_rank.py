@@ -376,6 +376,16 @@ def _chunked_accumulate(res: jax.Array, p: int, d_chunk: int = 8,
                              jnp.zeros(part.shape[:-1], jnp.float32))
 
 
+def residual_scores(q: jax.Array, rows: jax.Array, sign: float, p: int,
+                    d_chunk: int = 8) -> jax.Array:
+    """‖q + sign·rows‖_p with the kernel's d-chunked accumulation order —
+    the tie-exact mirror for gold/known scoring against ANY table the
+    TransE-form kernel sweeps (raw entities or per-relation projections).
+    ``q`` [C, D]; ``rows`` [C, D] or [C, K, D]."""
+    qb = q if rows.ndim == 2 else q[:, None, :]
+    return _chunked_accumulate(qb + sign * rows, p, d_chunk)
+
+
 def transe_candidate_scores(q: jax.Array, params, ids: jax.Array,
                             sign: float, p: int,
                             d_chunk: int = 8) -> jax.Array:
@@ -386,8 +396,7 @@ def transe_candidate_scores(q: jax.Array, params, ids: jax.Array,
     ``q`` [C, D]; ``ids`` [C] or [C, K] → scores of the same shape."""
     E = params["ent_embeddings"].astype(jnp.float32)
     rows = jnp.take(E, ids, 0)                       # [..., D]
-    qb = q if ids.ndim == 1 else q[:, None, :]
-    return _chunked_accumulate(qb + sign * rows, p, d_chunk)
+    return residual_scores(q, rows, sign, p, d_chunk)
 
 
 # --------------------------------------------------------------------------
