@@ -48,6 +48,7 @@ class Config:
         self._state = None
         self._result = None
         self._thresholds = None
+        self._import_path: Optional[str] = None
 
     # --- reference setters (Config.py set_* family) --------------------
 
@@ -57,9 +58,14 @@ class Config:
     def set_out_path(self, path: str):
         self._kw["out_path"] = path
 
-    # reference: set_import_files / set_export_files point at checkpoints
+    # reference: set_import_files / set_export_files point at checkpoints.
+    # set_import_files arms a restore: set_model() loads the latest
+    # checkpoint from this directory (the reference's test-only workflow —
+    # set_import_files → init → set_model → test/predict_* — evaluates the
+    # TRAINED tables, never a fresh init).
     def set_import_files(self, path: str):
         self._kw["out_path"] = path
+        self._import_path = path
 
     def set_export_files(self, path: str, steps: int = 0):
         self._kw["out_path"] = path
@@ -156,6 +162,17 @@ class Config:
         cfg = self.cfg
         self._state = init_state(get_model(name), cfg, self._ds.n_ent,
                                  self._ds.n_rel, jax.random.key(cfg.seed))
+        if self._import_path is not None:
+            # reference semantics: an armed import path MUST restore — a
+            # silent fall-through would evaluate random embeddings
+            from openkeonspark_tpu.ckpt.checkpoint import (CheckpointManager,
+                                                           latest_step)
+            if latest_step(self._import_path) is None:
+                raise FileNotFoundError(
+                    f"set_import_files({self._import_path!r}): no "
+                    f"step_N checkpoint found there")
+            mgr = CheckpointManager(self._import_path)
+            self._state, _ = mgr.restore(self._state)
         return self
 
     def _require(self, what: str):

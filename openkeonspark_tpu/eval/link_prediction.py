@@ -413,17 +413,25 @@ def _grouped_link_prediction(params, cfg: Config, ds, index,
     return ranks
 
 
+def _pallas_available(cfg: Config) -> bool:
+    """Shared gate for every kernel path: honors ``cfg.use_pallas_eval``,
+    runs on TPU backends, needs the OKST_PALLAS_INTERPRET opt-in for
+    interpret-mode on CPU, and has no Mosaic lowering on GPU backends."""
+    import os
+    if not cfg.use_pallas_eval:
+        return False
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return os.environ.get("OKST_PALLAS_INTERPRET") == "1"
+    return backend not in ("gpu", "cuda", "rocm")
+
+
 def _use_pallas(cfg: Config) -> bool:
     # transe: 5× the XLA path; transd: 3× (measured, v5e, 14.5k ents,
     # d=200). transh's kernel needs a second chunked pass for the pairwise
     # dot and measured BELOW the XLA path (17k vs 20k triples/s) — XLA
     # already maps that dot to the MXU — so transh stays generic.
-    import os
-    if not (cfg.use_pallas_eval and cfg.model in ("transe", "transd")):
-        return False
-    if jax.default_backend() == "cpu":
-        return os.environ.get("OKST_PALLAS_INTERPRET") == "1"
-    return True
+    return _pallas_available(cfg) and cfg.model in ("transe", "transd")
 
 
 def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
@@ -458,7 +466,10 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
         "link_prediction needs an eval index (build_kg_index(for_eval=True))"
 
     model = get_model(cfg.model)
-    if cfg.model in ("transr", "transh"):
+    if cfg.model in ("transr", "transh") and _pallas_available(cfg):
+        # relation-grouped MXU path (one table projection per single-
+        # relation chunk + the fused Pallas sweep); the generic _rank_scan
+        # below is the XLA fallback when kernels are disabled/unavailable
         ranks = _grouped_link_prediction(params, cfg, ds, index, triples,
                                          log=log)
         return LinkPredictionResult(

@@ -116,8 +116,13 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
         sps_h = max(1, min(cfg.steps_per_scan, cfg.nbatches))
         nf_h, rem_h = divmod(cfg.nbatches, sps_h)
         host_groups = [sps_h] * nf_h + ([rem_h] if rem_h else [])
+        # exact-resume data order for the host sampler too: the worker's
+        # seed chain is seed + batch_index, so starting it at the RESTORED
+        # global step continues the uninterrupted run's order (same
+        # contract the device sampler gets from step-derived keys below)
         host_pipe = HostPipeline(host, batch_size, cfg.negative_ent,
-                                 cfg.negative_rel, cfg.bern, seed=cfg.seed,
+                                 cfg.negative_rel, cfg.bern,
+                                 seed=cfg.seed + int(state.step),
                                  group_sizes=host_groups)
         host_step = build_host_scan_steps(model, cfg)
     else:

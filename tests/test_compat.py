@@ -69,6 +69,42 @@ def test_reference_script_flow(kg_dir, tmp_path):
                                p["rel_embeddings"], rtol=1e-6)
 
 
+def test_set_import_files_restores_trained_state(kg_dir, tmp_path):
+    """Reference test-only workflow: set_import_files → init → set_model
+    must evaluate the TRAINED tables, never a fresh init (ADVICE r1 #1)."""
+    out = str(tmp_path / "ckpt")
+    con = Config()
+    con.set_in_path(kg_dir)
+    con.set_out_path(out)
+    con.set_train_times(3)
+    con.set_nbatches(5)
+    con.set_dimension(8)
+    con.init()
+    con.set_model(TransE)
+    con.run(echo=lambda *_: None)
+    trained = con.get_parameters()
+
+    con2 = Config()
+    con2.set_in_path(kg_dir)
+    con2.set_import_files(out)
+    con2.set_dimension(8)
+    con2.init()
+    con2.set_model(TransE)
+    restored = con2.get_parameters()
+    for k in trained:
+        np.testing.assert_array_equal(trained[k], restored[k], err_msg=k)
+
+    # an armed import path with no checkpoint must raise, not silently
+    # evaluate random embeddings
+    con3 = Config()
+    con3.set_in_path(kg_dir)
+    con3.set_import_files(str(tmp_path / "empty"))
+    con3.set_dimension(8)
+    con3.init()
+    with pytest.raises(FileNotFoundError):
+        con3.set_model(TransE)
+
+
 def test_set_model_accepts_class_marker_and_dims(kg_dir):
     con = Config()
     con.set_in_path(kg_dir)

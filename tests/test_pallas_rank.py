@@ -85,6 +85,40 @@ def test_link_prediction_pallas_path_matches_generic(monkeypatch):
                                       res_generic.ranks[k], err_msg=k)
 
 
+@pytest.mark.parametrize("model_name", ["transr", "transh"])
+def test_grouped_path_matches_generic(model_name):
+    """The relation-grouped MXU path (now gated behind the same kernel
+    availability check as the other Pallas paths) vs the generic XLA
+    evaluator: identical ranks on every metric."""
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.synth import random_kg
+    from openkeonspark_tpu.eval import link_prediction
+    from openkeonspark_tpu.models import get_model
+    from openkeonspark_tpu.train.step import init_state
+
+    ds = random_kg(n_ent=89, n_rel=5, n_triples=700, n_valid=30, n_test=30,
+                   seed=11)
+    idx = build_kg_index(ds, for_eval=True)
+    cfg = Config(model=model_name, hidden_size=16, ent_size=16, rel_size=8,
+                 eval_chunk=16, eval_block=32)
+    state = init_state(get_model(model_name), cfg, ds.n_ent, ds.n_rel,
+                       jax.random.key(6))
+
+    res_generic = link_prediction(state.params,
+                                  cfg.replace(use_pallas_eval=False),
+                                  ds, idx)
+    os.environ["OKST_PALLAS_INTERPRET"] = "1"
+    try:
+        res_grouped = link_prediction(state.params, cfg, ds, idx)
+    finally:
+        os.environ.pop("OKST_PALLAS_INTERPRET", None)
+    for k in res_generic.ranks:
+        np.testing.assert_array_equal(res_generic.ranks[k],
+                                      res_grouped.ranks[k],
+                                      err_msg=f"{model_name}/{k}")
+
+
 @pytest.mark.parametrize("model_name", ["transd"])
 def test_projection_kernels_match_generic(model_name):
     """TransD kernel path (interpret) vs the generic XLA evaluator:
