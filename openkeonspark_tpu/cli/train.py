@@ -93,14 +93,16 @@ def run(cfg: Config, echo=print) -> dict:
 
     step_builder = None
     if use_mesh:
-        from openkeonspark_tpu.parallel import (make_mesh,
-                                                make_sharded_step_builder,
-                                                shard_state)
+        from openkeonspark_tpu.parallel import (make_exchange_step_builder,
+                                                make_mesh, shard_state)
         mesh = make_mesh((d_axis, m_axis))
         state = shard_state(state, mesh)
-        step_builder = make_sharded_step_builder(mesh)
+        # owner-directed boundary exchange (cfg.sharded_step='exchange');
+        # falls back to the psum step when geometry requires
+        step_builder = make_exchange_step_builder(mesh)
         echo(f"mesh: data={d_axis} model={m_axis} "
-             f"({len(mesh.devices.flat)} devices)")
+             f"({len(mesh.devices.flat)} devices) "
+             f"step={cfg.sharded_step}")
 
     result = train(cfg, ds, index=index, state=state,
                    step_builder=step_builder, checkpoint_dir=out_dir,

@@ -75,6 +75,12 @@ class Config:
     coordinator: str = ""            # jax.distributed coordinator addr (multi-host)
     num_processes: int = 1
     process_id: int = 0
+    sharded_step: str = "exchange"   # exchange (owner-directed boundary
+    #   exchange, parallel/exchange.py) | psum (legacy full-row broadcast)
+    exchange_slack: float = 2.0      # owner-bucket capacity = slack × uniform
+    #   share; overflow beyond it takes the exact cond-gated fallback
+    exchange_microbatches: int = 2   # sub-batch chunks with independent
+    #   exchange→score chains (comm/compute overlap); 1 disables
 
     # --- logging --------------------------------------------------------
     log_every: int = 1               # epochs between loss prints
@@ -93,6 +99,10 @@ class Config:
             raise ValueError(f"unknown loss_mode {self.loss_mode!r}")
         if self.sampler not in ("device", "host"):
             raise ValueError(f"unknown sampler {self.sampler!r}")
+        if self.sharded_step not in ("exchange", "psum"):
+            raise ValueError(f"unknown sharded_step {self.sharded_step!r}")
+        if self.exchange_microbatches < 1:
+            raise ValueError("exchange_microbatches must be >= 1")
 
     @property
     def d_ent(self) -> int:
