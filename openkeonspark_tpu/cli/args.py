@@ -59,7 +59,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="epochs between early-stop validation checks (0=off)")
     p.add_argument("--early_stop_patience", type=int, default=5)
     p.add_argument("--early_stop_min_delta", type=float, default=0.0)
-    p.add_argument("--eval_chunk", type=int, default=64)
+    p.add_argument("--eval_chunk", type=int, default=None,
+                   help="test triples per ranking chunk (default: platform)")
     p.add_argument("--eval_block", type=int, default=1024)
     p.add_argument("--eval_dtype", default="float32")
     p.add_argument("--type_constrain", action="store_true",

@@ -51,36 +51,88 @@ def random_kg(n_ent: int = 1000, n_rel: int = 20, n_triples: int = 20000,
     return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid, test=test)
 
 
-def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
-               n_valid: int = 1000, n_test: int = 1000, dim: int = 16,
-               noise: float = 0.05, seed: int = 0) -> Dataset:
-    """KG generated from a hidden TransE model: entities are points in R^dim,
-    each relation is a translation vector; a triple (h, r, t) is emitted when
-    t is among the nearest entities to (e_h + v_r). A trained TransE model
-    should recover high Hits@10 on this data — the end-to-end quality oracle.
-    """
-    rng = np.random.default_rng(seed)
+def _planted_projections(model: str, n_ent: int, n_rel: int, dim: int,
+                         rng: np.random.Generator):
+    """Ground-truth structure per model family: a per-relation *projected*
+    entity table P_r [nE, dp] and translation v_r [dp], such that a triple
+    (h, r, t) is true when ‖P_r[h] + v_r − P_r[t]‖ is small — exactly each
+    model's score geometry (TransH hyperplanes, TransR matrices, TransD
+    dynamic maps; TransE's P is the identity). Returns
+    ``(proj(r) -> [nE, dp], trans [nR, dp])``."""
     ent = rng.normal(size=(n_ent, dim)).astype(np.float32)
     ent /= np.linalg.norm(ent, axis=1, keepdims=True)
-    rel = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
+    if model in ("transe", "distmult", "complex"):
+        # bilinear models recover translation-planted structure well
+        # (nearest-neighbor clusters are also high-dot-product clusters)
+        v = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
+        return (lambda r: ent), v
+    if model == "transh":
+        w = rng.normal(size=(n_rel, dim)).astype(np.float32)
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        v = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
+        v -= w * np.sum(v * w, axis=1, keepdims=True)  # v ⊥ w (in-plane)
 
-    triples = []
-    per_pair = 4  # nearest-t candidates per (h, r) draw
+        def proj(r):
+            return ent - np.outer(ent @ w[r], w[r])
+        return proj, v
+    if model == "transr":
+        dr = max(2, dim // 2)
+        m = rng.normal(size=(n_rel, dim, dr)).astype(np.float32) / np.sqrt(dim)
+        v = (0.5 * rng.normal(size=(n_rel, dr))).astype(np.float32)
+        return (lambda r: ent @ m[r]), v
+    if model == "transd":
+        ent_p = rng.normal(size=(n_ent, dim)).astype(np.float32) / np.sqrt(dim)
+        rel_p = rng.normal(size=(n_rel, dim)).astype(np.float32)
+        v = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
+        dot = np.sum(ent_p * ent, axis=1, keepdims=True)   # [nE, 1]
+
+        def proj(r):  # M_rh·e = e + r_p (e_p · e)
+            return ent + dot * rel_p[r][None, :]
+        return proj, v
+    raise ValueError(f"no planted generator for model {model!r}")
+
+
+def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
+               n_valid: int = 1000, n_test: int = 1000, dim: int = 16,
+               noise: float = 0.05, seed: int = 0, model: str = "transe",
+               head_frac: float = 0.5) -> Dataset:
+    """KG generated from a hidden model of the chosen family: a triple
+    (h, r, t) is emitted when the projected entities satisfy
+    ``P_r[h] + v_r ≈ P_r[t]`` — so a trained model of that family should
+    recover high filtered Hits@10, the end-to-end quality oracle standing
+    in for the unfetchable benchmark splits (VERDICT.md r1 missing #3).
+
+    ``head_frac`` of the pairs are planted *head-wards* (draw (t, r), pick
+    h among the nearest pre-images) so head prediction is as well-posed as
+    tail prediction; the original generator only planted the tail
+    direction (VERDICT.md r1 next #5)."""
+    rng = np.random.default_rng(seed)
+    proj, trans = _planted_projections(model, n_ent, n_rel, dim, rng)
+
+    per_pair = 4  # nearest candidates per (anchor, r) draw
     n_pairs = n_triples // per_pair + 1
-    heads = rng.integers(0, n_ent, size=n_pairs)
+    anchors = rng.integers(0, n_ent, size=n_pairs)
     rels = rng.integers(0, n_rel, size=n_pairs)
-    chunk = 512
-    for s in range(0, n_pairs, chunk):
-        hh, rr = heads[s:s + chunk], rels[s:s + chunk]
-        target = ent[hh] + rel[rr]                      # [c, dim]
-        # L2 nearest entities via the matmul identity
+    headward = rng.random(n_pairs) < head_frac
+    triples = []
+    for r in range(n_rel):
+        sel = np.nonzero(rels == r)[0]
+        if not len(sel):
+            continue
+        p = proj(r)                                       # [nE, dp]
+        p2 = np.sum(p ** 2, axis=1)[None, :]
+        a = anchors[sel]
+        sign = np.where(headward[sel], -1.0, 1.0)[:, None]
+        target = p[a] + sign * trans[r][None, :]          # [c, dp]
         d2 = (np.sum(target ** 2, 1, keepdims=True)
-              - 2.0 * target @ ent.T
-              + np.sum(ent ** 2, 1)[None, :])          # [c, nE]
+              - 2.0 * target @ p.T + p2)                  # [c, nE]
         nearest = np.argpartition(d2, per_pair, axis=1)[:, :per_pair]
-        for i in range(len(hh)):
-            for t in nearest[i]:
-                triples.append((hh[i], t, rr[i]))
+        for i, ai in enumerate(a):
+            for cand in nearest[i]:
+                if headward[sel[i]]:
+                    triples.append((cand, ai, r))         # cand = head
+                else:
+                    triples.append((ai, cand, r))         # cand = tail
     triples = np.asarray(triples, dtype=np.int32)
     if noise > 0:
         n_noise = int(len(triples) * noise)
@@ -92,7 +144,8 @@ def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
         triples = np.concatenate([triples, noise_t], axis=0)
     triples = _dedup(triples)
     train, valid, test = _split(triples, n_valid, n_test, rng)
-    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid, test=test)
+    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid,
+                   test=test)
 
 
 def fb15k237_like(seed: int = 0) -> Dataset:

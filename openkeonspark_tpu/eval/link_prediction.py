@@ -451,6 +451,17 @@ def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
     return out
 
 
+def guard_finite_params(params) -> None:
+    """Refuse to rank with non-finite embeddings: NaN scores compare False
+    against everything, so a diverged model would silently report a
+    PERFECT Hits@10 of 1.0 (every rank 0). Fail loudly instead."""
+    for name, table in params.items():
+        if not bool(jnp.all(jnp.isfinite(table))):
+            raise ValueError(
+                f"param table {name!r} contains non-finite values — "
+                "training diverged (lower alpha?); refusing to evaluate")
+
+
 def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
                     index: KGIndex, triples: Optional[np.ndarray] = None,
                     log=None) -> LinkPredictionResult:
@@ -464,6 +475,7 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
         raise ValueError("no test triples")
     assert index.hr_all is not None and index.tr_all is not None, \
         "link_prediction needs an eval index (build_kg_index(for_eval=True))"
+    guard_finite_params(params)
 
     model = get_model(cfg.model)
     if cfg.model in ("transr", "transh") and _pallas_available(cfg):
@@ -480,7 +492,7 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
             ranks=ranks,
         )
     block = cfg.eval_block
-    chunk = cfg.eval_chunk
+    chunk = cfg.eval_chunk_size
     pallas = _use_pallas(cfg)
     if pallas:
         from openkeonspark_tpu.ops.pallas_rank import (prepare_table,

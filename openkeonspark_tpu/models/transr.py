@@ -45,9 +45,20 @@ class TransR(KGEModel):
     def score(slots: Slots, cfg: Config) -> jax.Array:
         de, dr = cfg.d_ent, cfg.d_rel
         m = slots["m_r"].reshape(slots["m_r"].shape[:-1] + (de, dr))
-        # batched row-vector × matrix on the MXU; f32 accumulation
-        h = jnp.einsum("...e,...er->...r", slots["h_e"], m,
-                       preferred_element_type=jnp.float32)
-        t = jnp.einsum("...e,...er->...r", slots["t_e"], m,
-                       preferred_element_type=jnp.float32)
+        h_e, t_e = slots["h_e"], slots["t_e"]
+        if m.ndim == h_e.ndim + 1 and m.shape[0] == 1 and h_e.shape[0] != 1:
+            # untiled [1, B, de·dr] slot (all negative segments share r):
+            # contract each entity segment against the single matrix set —
+            # the ellipsis form would broadcast-materialize the matrices
+            # S× (~155 MB/step at FB15K shapes) before the dot
+            h = jnp.einsum("sbe,ber->sbr", h_e, m[0],
+                           preferred_element_type=jnp.float32)
+            t = jnp.einsum("sbe,ber->sbr", t_e, m[0],
+                           preferred_element_type=jnp.float32)
+        else:
+            # batched row-vector × matrix on the MXU; f32 accumulation
+            h = jnp.einsum("...e,...er->...r", h_e, m,
+                           preferred_element_type=jnp.float32)
+            t = jnp.einsum("...e,...er->...r", t_e, m,
+                           preferred_element_type=jnp.float32)
         return pnorm(h + slots["r_e"] - t, cfg.p_norm)

@@ -102,6 +102,7 @@ def hlo_collective_bytes(hlo_text: str,
             frontier += _CALLEE_RE.findall(comps[n])
 
     out: Dict[str, int] = {k: 0 for k in _KINDS}
+    wire = 0.0
     bodies = ([b for n, b in comps.items() if n not in skipped]
               if comps else [hlo_text])
     for body in bodies:
@@ -110,10 +111,41 @@ def hlo_collective_bytes(hlo_text: str,
             if not m or "-done(" in line:
                 continue
             shapes, kind = m.group(1), m.group(2)
-            out[kind] += sum(_array_bytes(d, s)
-                             for d, s in _ARRAY_RE.findall(shapes))
+            payload = sum(_array_bytes(d, s)
+                          for d, s in _ARRAY_RE.findall(shapes))
+            out[kind] += payload
+            g = _group_size(line)
+            if g > 1:  # size-1 groups move no bytes
+                f = (g - 1) / g
+                if kind == "all-reduce":
+                    wire += 2 * f * payload
+                elif kind == "reduce-scatter":
+                    wire += (g - 1) * payload  # payload = scattered output
+                elif kind == "collective-permute":
+                    wire += payload
+                else:  # all-gather / all-to-all: payload = full output
+                    wire += f * payload
     out["total"] = sum(out[k] for k in _KINDS)
+    out["wire"] = int(wire)
     return out
+
+
+_GROUPS_RE = re.compile(r"replica_groups=(\{\{[^=]*?\}\}|\[\d+,\d+\]<=)")
+
+
+def _group_size(line: str) -> int:
+    """Participants per replica group of a collective op line. Handles both
+    the explicit ``{{0,1},{2,3}}`` form and the iota ``[G,S]<=[N]`` form.
+    No annotation (single-replica modules) → 1."""
+    m = _GROUPS_RE.search(line)
+    if not m:
+        return 1
+    g = m.group(1)
+    if g.startswith("["):
+        dims = g[1:g.index("]")].split(",")
+        return int(dims[1])
+    first = g[2:g.index("}", 2)]
+    return len([x for x in first.split(",") if x.strip() != ""])
 
 
 def collective_bytes(fn: Callable, *args, **kw) -> Dict[str, int]:
@@ -126,9 +158,12 @@ def collective_bytes(fn: Callable, *args, **kw) -> Dict[str, int]:
 
 
 def wire_bytes_estimate(payload: Dict[str, int], n_devices: int) -> int:
-    """Per-device on-wire bytes under ring algorithms: all-reduce moves
-    2·(N−1)/N × payload, all-gather / reduce-scatter (N−1)/N × payload,
-    all-to-all (N−1)/N × payload, collective-permute 1×."""
+    """Per-device on-wire bytes. Prefers the per-op ``wire`` figure that
+    :func:`hlo_collective_bytes` derives from each op's actual replica
+    groups (size-1 groups are free); the ring-factor fallback uses the
+    mesh size when an older payload dict lacks it."""
+    if "wire" in payload:
+        return payload["wire"]
     n = max(2, n_devices)
     f = (n - 1) / n
     return int(payload.get("all-reduce", 0) * 2 * f

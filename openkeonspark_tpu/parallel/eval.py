@@ -150,12 +150,14 @@ def sharded_link_prediction(params, cfg: Config, ds, index, mesh: Mesh,
     4 device dispatches total (prep + count, per direction)."""
     from openkeonspark_tpu.data.dataset import H, R, T
     from openkeonspark_tpu.eval.link_prediction import (DirectionMetrics,
-                                                        LinkPredictionResult)
+                                                        LinkPredictionResult,
+                                                        guard_finite_params)
     if triples is None:
         triples = ds.test
     assert index.hr_all is not None and index.tr_all is not None
+    guard_finite_params(params)
     D = mesh.shape[DATA]
-    chunk = cfg.eval_chunk * D
+    chunk = cfg.eval_chunk_size * D
     ranker = ShardedRanker(cfg, mesh, ds.n_ent)
     cand_tables = {name: params[name]
                    for name in CANDIDATE_TABLES[cfg.model]}

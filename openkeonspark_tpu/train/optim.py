@@ -40,23 +40,44 @@ Updates = Dict[str, List[Tuple[jax.Array, jax.Array]]]
 # no table row), and removes the rel-table scatter from the step entirely.
 MATMUL_SCATTER_MAX_ROWS = 512
 
+# rows at least this wide take the Pallas sorted-run RMW kernel on TPU
+# (ops/pallas_scatter.py): XLA's wide-row scatter runs at ~45 GB/s while
+# the kernel streams row-sized DMAs (measured 2.0–2.8× at TransR's
+# 20 000-wide rows, v5e). Narrow rows measured a DEAD END there: per-row
+# DMA latency dominates at 800 B rows (1.99 ms vs XLA's 1.57 ms at the
+# flagship shape) — so the route is width-gated.
+WIDE_SCATTER_MIN_WIDTH = 4096
+
+
+def _use_wide_kernel(table: jax.Array) -> bool:
+    import os
+    if os.environ.get("OKST_NO_WIDE_SCATTER") == "1":
+        return False
+    return (table.ndim == 2 and table.shape[1] >= WIDE_SCATTER_MIN_WIDTH
+            and jax.default_backend() == "tpu")
+
 
 def scatter_add_rows(table: jax.Array, ids: jax.Array,
                      delta: jax.Array) -> jax.Array:
     """``table[ids] += delta`` where ids ≥ table rows are discarded.
 
-    Small tables take the MXU one-hot path; everything else the masked
-    scatter-add (duplicates sum in both). (Measured dead end: sort-
-    aggregating duplicates before the scatter loses — ``segment_sum`` is
-    itself a scatter, so the aggregation pays the same ~40 GB/s scatter
-    throughput it was trying to avoid, plus a row shuffle.)"""
+    Small tables take the MXU one-hot path; wide rows on TPU the Pallas
+    sorted-run kernel; everything else the masked scatter-add (duplicates
+    sum in all three). (Measured dead end: sort-aggregating duplicates
+    before the scatter loses — ``segment_sum`` is itself a scatter, so the
+    aggregation pays the same ~40 GB/s scatter throughput it was trying to
+    avoid, plus a row shuffle.)"""
     rows = table.shape[0]
-    if rows <= MATMUL_SCATTER_MAX_ROWS:
+    if rows <= MATMUL_SCATTER_MAX_ROWS and not _use_wide_kernel(table):
         onehot = (ids[None, :] ==
                   jnp.arange(rows, dtype=ids.dtype)[:, None])
         return table + jax.lax.dot(
             onehot.astype(table.dtype), delta.astype(table.dtype),
             precision=jax.lax.Precision.HIGHEST)
+    if _use_wide_kernel(table):
+        from openkeonspark_tpu.ops.pallas_scatter import \
+            scatter_add_rows_sorted
+        return scatter_add_rows_sorted(table, ids, delta)
     valid = (ids < rows)[:, None]
     idc = jnp.minimum(ids, rows - 1)
     return table.at[idc].add(

@@ -1,0 +1,70 @@
+"""Planted-structure generators for every model family + both directions
+(VERDICT.md r1 next #5) and the non-finite-params evaluation guard."""
+
+import jax
+import numpy as np
+import pytest
+
+from openkeonspark_tpu.config import Config
+from openkeonspark_tpu.data.index import build_kg_index
+from openkeonspark_tpu.data.synth import planted_kg
+from openkeonspark_tpu.eval.link_prediction import (guard_finite_params,
+                                                    link_prediction)
+from openkeonspark_tpu.models import get_model
+from openkeonspark_tpu.train.loop import train
+from openkeonspark_tpu.train.step import init_state
+
+
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
+                                        "transd"])
+def test_planted_generator_all_families(model_name):
+    ds = planted_kg(n_ent=120, n_rel=4, n_triples=1500, n_valid=50,
+                    n_test=50, dim=6, noise=0.0, seed=3, model=model_name)
+    assert ds.n_train > 800
+    all_t = np.concatenate([ds.train, ds.valid, ds.test])
+    assert len(np.unique(all_t, axis=0)) == len(all_t)  # deduped
+    assert all_t[:, :2].max() < ds.n_ent and all_t[:, 2].max() < ds.n_rel
+
+
+def test_planted_head_direction_is_learnable():
+    """head_frac plants pre-image structure: a trained TransE must rank
+    heads as well as tails (the r1 generator was tail-only and head
+    prediction was intrinsically ill-posed)."""
+    ds = planted_kg(n_ent=200, n_rel=6, n_triples=4000, n_valid=100,
+                    n_test=200, dim=8, noise=0.0, seed=1, head_frac=0.5)
+    cfg = Config(model="transe", hidden_size=24, alpha=0.1, margin=2.0,
+                 train_times=25, nbatches=15, negative_ent=2,
+                 use_pallas_eval=False, eval_chunk=64, eval_block=128)
+    res = train(cfg, ds, echo=lambda *a, **k: None)
+    idx = build_kg_index(ds, for_eval=True)
+    lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
+    assert lp.filt_tail.hits10 > 0.25
+    assert lp.filt_head.hits10 > 0.25          # head-wards now well-posed
+
+
+def test_planted_transh_recovery():
+    """The family-matched generator is recoverable by its family's model
+    (per-model CPU smoke; the TPU-scale anchors live in BASELINE.md)."""
+    ds = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
+                    n_test=120, dim=6, noise=0.0, seed=1, model="transh")
+    cfg = Config(model="transh", hidden_size=24, alpha=0.005, margin=2.0,
+                 train_times=60, nbatches=15, negative_ent=2,
+                 use_pallas_eval=False, eval_chunk=64, eval_block=128)
+    res = train(cfg, ds, echo=lambda *a, **k: None)
+    idx = build_kg_index(ds, for_eval=True)
+    lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
+    assert lp.filt_tail.hits10 > 0.25
+    assert lp.filt_head.hits10 > 0.25
+
+
+def test_nan_params_refuse_to_evaluate():
+    """NaN scores compare False everywhere → rank 0 → fake-perfect
+    Hits@10; the evaluator must fail loudly instead."""
+    cfg = Config(model="transe", hidden_size=8)
+    model = get_model(cfg.model)
+    state = init_state(model, cfg, 50, 4, jax.random.key(0))
+    params = dict(state.params)
+    params["ent_embeddings"] = params["ent_embeddings"].at[3, 2].set(
+        float("nan"))
+    with pytest.raises(ValueError, match="non-finite"):
+        guard_finite_params(params)
