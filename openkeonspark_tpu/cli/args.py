@@ -68,7 +68,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "(needs type_constrain.txt in the dataset dir)")
     # execution
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--steps_per_scan", type=int, default=50)
+    p.add_argument("--steps_per_scan", type=int, default=None,
+                   help="steps fused per dispatch (default: adaptive)")
     p.add_argument("--log_every", type=int, default=1)
     p.add_argument("--log_path", default="")
     p.add_argument("--trace_dir", default="",

@@ -67,7 +67,11 @@ class Config:
 
     # --- execution ------------------------------------------------------
     seed: int = 0
-    steps_per_scan: int = 50         # train steps fused into one lax.scan host call
+    steps_per_scan: Optional[int] = None  # train steps fused into one
+    #   lax.scan host call; None = adaptive (see scan_group_size): small
+    #   batches fuse deeper so per-dispatch latency (severe through
+    #   remote-attached TPUs) amortizes — config #1 (B=400) measured
+    #   0.69M t/s at 50 and >5M at 800
     dtype: str = "float32"           # table dtype
     eval_dtype: str = "float32"      # scoring dtype at eval ("bfloat16" for speed)
     use_pallas_eval: bool = True     # blocked Pallas rank kernel when available
@@ -105,6 +109,14 @@ class Config:
             raise ValueError(f"unknown sharded_step {self.sharded_step!r}")
         if self.exchange_microbatches < 1:
             raise ValueError("exchange_microbatches must be >= 1")
+
+    def scan_group_size(self, batch_size: int) -> int:
+        """Steps fused per device dispatch: explicit ``steps_per_scan`` or
+        an adaptive target of ~128k positives per dispatch (≥50 steps),
+        so per-call latency stays a rounding error at any batch size."""
+        if self.steps_per_scan is not None:
+            return max(1, self.steps_per_scan)
+        return max(50, -(-131072 // max(1, batch_size)))
 
     @property
     def eval_chunk_size(self) -> int:

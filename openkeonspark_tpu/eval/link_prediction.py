@@ -360,7 +360,7 @@ def _grouped_link_prediction(params, cfg: Config, ds, index,
     dispatch per group of chunks."""
     model = get_model(cfg.model)
     block = min(max(cfg.eval_block, 512), 1024)
-    chunk = min(cfg.eval_chunk, 64)  # small chunks bound padding waste
+    chunk = min(cfg.eval_chunk_size, 64)  # small chunks bound padding waste
     params_pad, nblocks = _pad_entity_tables(model, params, cfg, ds.n_ent,
                                              ds.n_rel, block)
 

@@ -53,68 +53,73 @@ def _slice_rows(table: jax.Array, start: jax.Array, size: int) -> jax.Array:
 
 def build_queries(model_name: str, params: Dict[str, jax.Array],
                   h: jax.Array, t: jax.Array, r: jax.Array, replace: str,
-                  cfg: Config) -> Dict[str, jax.Array]:
+                  cfg: Config, take=None) -> Dict[str, jax.Array]:
+    """``take(table, ids) -> rows`` defaults to a plain row gather; the
+    multi-device evaluator passes a masked-take+psum so the same query
+    recipes work on row-sharded tables inside its shard_map."""
+    if take is None:
+        take = lambda X, ids: jnp.take(X, ids, 0)
     dt = jnp.dtype(cfg.eval_dtype)
     E = params["ent_embeddings"].astype(dt)
     R = params["rel_embeddings"].astype(dt)
     if model_name == "transe":
         if replace == "tail":
-            return {"q": jnp.take(E, h, 0) + jnp.take(R, r, 0)}
-        return {"q": jnp.take(R, r, 0) - jnp.take(E, t, 0)}
+            return {"q": take(E, h) + take(R, r)}
+        return {"q": take(R, r) - take(E, t)}
     if model_name == "transh":
-        w = jnp.take(params["normal_vectors"].astype(dt), r, 0)
+        w = take(params["normal_vectors"].astype(dt), r)
         if replace == "tail":
-            eh = jnp.take(E, h, 0)
-            q = eh - jnp.sum(eh * w, -1, keepdims=True) * w + jnp.take(R, r, 0)
+            eh = take(E, h)
+            q = eh - jnp.sum(eh * w, -1, keepdims=True) * w + take(R, r)
         else:
-            et = jnp.take(E, t, 0)
-            q = jnp.take(R, r, 0) - (et - jnp.sum(et * w, -1,
+            et = take(E, t)
+            q = take(R, r) - (et - jnp.sum(et * w, -1,
                                                   keepdims=True) * w)
         return {"q": q, "w": w}
     if model_name == "transr":
         de, dr = cfg.d_ent, cfg.d_rel
-        m = jnp.take(params["transfer_matrix"].astype(dt), r, 0
-                     ).reshape(-1, de, dr)
+        m = take(params["transfer_matrix"].astype(dt), r
+                 ).reshape(-1, de, dr)
         if replace == "tail":
-            ph = jnp.einsum("cd,cdk->ck", jnp.take(E, h, 0), m,
+            ph = jnp.einsum("cd,cdk->ck", take(E, h), m,
                             preferred_element_type=jnp.float32).astype(dt)
-            q = ph + jnp.take(R, r, 0)
+            q = ph + take(R, r)
         else:
-            pt = jnp.einsum("cd,cdk->ck", jnp.take(E, t, 0), m,
+            pt = jnp.einsum("cd,cdk->ck", take(E, t), m,
                             preferred_element_type=jnp.float32).astype(dt)
-            q = jnp.take(R, r, 0) - pt
+            q = take(R, r) - pt
         return {"q": q, "m": m}
     if model_name == "distmult":
         # score = −Σ h·r·t: both directions reduce to q·e_c with
         # q = (anchor ⊙ r) — the sweep is one MXU matmul
         if replace == "tail":
-            return {"q": jnp.take(E, h, 0) * jnp.take(R, r, 0)}
-        return {"q": jnp.take(E, t, 0) * jnp.take(R, r, 0)}
+            return {"q": take(E, h) * take(R, r)}
+        return {"q": take(E, t) * take(R, r)}
     if model_name == "complex":
         # Re⟨h, r, t̄⟩ is bilinear in the raw [2d] entity rows of the
         # swept slot: q·e_c with the q below (eval/scoring convention:
         # first d lanes real, last d imaginary)
         d = E.shape[1] // 2
-        rr, ri = jnp.take(R, r, 0)[:, :d], jnp.take(R, r, 0)[:, d:]
+        rr, ri = take(R, r)[:, :d], take(R, r)[:, d:]
         if replace == "tail":
-            hr, hi = jnp.take(E, h, 0)[:, :d], jnp.take(E, h, 0)[:, d:]
+            hr, hi = take(E, h)[:, :d], take(E, h)[:, d:]
             q = jnp.concatenate([hr * rr - hi * ri, hi * rr + hr * ri], -1)
         else:
-            tr, ti = jnp.take(E, t, 0)[:, :d], jnp.take(E, t, 0)[:, d:]
+            tr, ti = take(E, t)[:, :d], take(E, t)[:, d:]
             q = jnp.concatenate([rr * tr + ri * ti, rr * ti - ri * tr], -1)
         return {"q": q}
     if model_name == "transd":
-        rp = jnp.take(params["rel_transfer"].astype(dt), r, 0)
+        rp = take(params["rel_transfer"].astype(dt), r)
         EP = params["ent_transfer"].astype(dt)
         if replace == "tail":
-            eh = jnp.take(E, h, 0)
-            ehp = jnp.take(EP, h, 0)
+            eh = take(E, h)
+            ehp = take(EP, h)
             q = eh + jnp.sum(eh * ehp, -1, keepdims=True) * rp \
-                + jnp.take(R, r, 0)
+                + take(R, r)
         else:
-            et = jnp.take(E, t, 0)
-            etp = jnp.take(EP, t, 0)
-            q = jnp.take(R, r, 0) - (et + jnp.sum(et * etp, -1,
+            et = take(E, t)
+            etp = take(EP, t)
+            q = take(R, r) - (et + jnp.sum(et * etp, -1,
                                                   keepdims=True) * rp)
         return {"q": q, "rp": rp}
     raise ValueError(model_name)

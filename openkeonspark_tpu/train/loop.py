@@ -113,7 +113,7 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
         from openkeonspark_tpu.sampling.host import HostPipeline, HostSampler
         from openkeonspark_tpu.train.step import build_host_scan_steps
         host = HostSampler(ds, index, n_threads=cfg.work_threads)
-        sps_h = max(1, min(cfg.steps_per_scan, cfg.nbatches))
+        sps_h = max(1, min(cfg.scan_group_size(batch_size), cfg.nbatches))
         nf_h, rem_h = divmod(cfg.nbatches, sps_h)
         host_groups = [sps_h] * nf_h + ([rem_h] if rem_h else [])
         # exact-resume data order for the host sampler too: the worker's
@@ -129,7 +129,7 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
         sampler = DeviceSampler.build(ds, index)
         build = step_builder or build_train_step
         step_fn = build(model, cfg, sampler, batch_size)
-        sps = max(1, min(cfg.steps_per_scan, cfg.nbatches))
+        sps = max(1, min(cfg.scan_group_size(batch_size), cfg.nbatches))
         n_full, rem = divmod(cfg.nbatches, sps)
         run_full = build_scan_steps(step_fn, sps)
         run_rem = build_scan_steps(step_fn, rem) if rem else None

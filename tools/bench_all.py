@@ -68,6 +68,9 @@ def bench_config(i: int, spec: dict, steps: int, repeats: int = 3) -> dict:
     index = build_kg_index(ds, for_eval=False)
     sampler = DeviceSampler.build(ds, index)
     state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(7))
+    # measure at the fusion depth training actually uses (adaptive group:
+    # small batches fuse deeper to amortize dispatch latency)
+    steps = max(steps, cfg.scan_group_size(batch))
     run = build_scan_steps(build_train_step(model, cfg, sampler, batch),
                            steps)
     key = jax.random.key(1)
