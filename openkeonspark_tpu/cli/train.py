@@ -53,9 +53,11 @@ def run(cfg: Config, echo=print) -> dict:
 
     d_axis, m_axis = cfg.mesh_shape
     use_mesh = d_axis * m_axis > 1
+    # pad to the full grid size: valid for BOTH sharded-step layouts
+    # (flat exchange needs rows % (D·M) == 0, psum needs rows % M == 0)
+    pad = d_axis * m_axis if use_mesh else 1
     state = init_state(model, cfg, ds.n_ent, ds.n_rel,
-                       jax.random.key(cfg.seed),
-                       pad_to_multiple=m_axis if use_mesh else 1)
+                       jax.random.key(cfg.seed), pad_to_multiple=pad)
 
     # crash recovery (reference: MonitoredTrainingSession auto-restores
     # the latest checkpoint in checkpoint_dir on restart, SURVEY.md §5):
@@ -86,7 +88,7 @@ def run(cfg: Config, echo=print) -> dict:
         if prev:
             def init_fn(m, c, ne, nr):
                 return init_state(m, c, ne, nr, jax.random.key(c.seed),
-                                  pad_to_multiple=m_axis if use_mesh else 1)
+                                  pad_to_multiple=pad)
             state, manifest = warm_start_from(state, prev, model, cfg,
                                               init_fn)
             echo(f"warm start from {prev} (step {int(state.step)})")
@@ -95,14 +97,25 @@ def run(cfg: Config, echo=print) -> dict:
     if use_mesh:
         from openkeonspark_tpu.parallel import (make_exchange_step_builder,
                                                 make_mesh, shard_state)
+        from openkeonspark_tpu.parallel.exchange import plan_sharded_step
         mesh = make_mesh((d_axis, m_axis))
-        state = shard_state(state, mesh)
+        # round the batch down to a grid multiple so the exchange step's
+        # geometry constraint (B/D divisible by M) always holds — the
+        # reference's batch is itself a rounding (train_total // nbatches)
+        bs = cfg.resolve_batch_size(ds.n_train)
+        grid = d_axis * m_axis
+        if bs % grid:
+            bs = max(grid, bs - bs % grid)
+            cfg = cfg.replace(batch_size=bs)
         # owner-directed boundary exchange (cfg.sharded_step='exchange');
-        # falls back to the psum step when geometry requires
+        # falls back to the psum step when geometry requires. The state
+        # layout must match the step kind: flat (data×model) row sharding
+        # for the exchange step, 'model'-only for psum.
+        kind = plan_sharded_step(cfg, bs, mesh)
+        state = shard_state(state, mesh, flat=(kind == "exchange"))
         step_builder = make_exchange_step_builder(mesh)
         echo(f"mesh: data={d_axis} model={m_axis} "
-             f"({len(mesh.devices.flat)} devices) "
-             f"step={cfg.sharded_step}")
+             f"({len(mesh.devices.flat)} devices) step={kind}")
 
     result = train(cfg, ds, index=index, state=state,
                    step_builder=step_builder, checkpoint_dir=out_dir,

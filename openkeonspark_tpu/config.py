@@ -82,11 +82,22 @@ class Config:
     num_processes: int = 1
     process_id: int = 0
     sharded_step: str = "exchange"   # exchange (owner-directed boundary
-    #   exchange, parallel/exchange.py) | psum (legacy full-row broadcast)
-    exchange_slack: float = 2.0      # owner-bucket capacity = slack × uniform
-    #   share; overflow beyond it takes the exact cond-gated fallback
+    #   exchange over the FLAT data×model grid, parallel/exchange.py) |
+    #   psum (legacy full-row broadcast, tables sharded over 'model' only)
+    exchange_slack: float = 1.5      # owner-bucket capacity = slack × the
+    #   expected per-owner share (expected UNIQUE ids when dedup is on);
+    #   overflow beyond it takes the exact cond-gated fallback
     exchange_microbatches: int = 2   # sub-batch chunks with independent
     #   exchange→score chains (comm/compute overlap); 1 disables
+    exchange_wire_dtype: str = "bfloat16"  # dtype of rows/grads ON THE WIRE
+    #   (a2a payloads); accumulation stays float32 at the receiver.
+    #   bfloat16 halves exchange traffic (the scaling-efficiency lever,
+    #   BASELINE.md); set "float32" for bit-parity with the psum step
+    exchange_dedup: str = "gather"   # "gather" (default): route each
+    #   DISTINCT row id once per gather exchange (sort+rank on device,
+    #   cheap); "both": also pre-aggregate duplicate update rows before
+    #   routing (adds a wide segment-sum scatter ≈ one extra update-stream
+    #   scatter pass — pays off only when duplicates are heavy); "off"
 
     # --- logging --------------------------------------------------------
     log_every: int = 1               # epochs between loss prints
@@ -109,6 +120,12 @@ class Config:
             raise ValueError(f"unknown sharded_step {self.sharded_step!r}")
         if self.exchange_microbatches < 1:
             raise ValueError("exchange_microbatches must be >= 1")
+        if self.exchange_wire_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown exchange_wire_dtype {self.exchange_wire_dtype!r}")
+        if self.exchange_dedup not in ("gather", "both", "off"):
+            raise ValueError(
+                f"unknown exchange_dedup {self.exchange_dedup!r}")
 
     def scan_group_size(self, batch_size: int) -> int:
         """Steps fused per device dispatch: explicit ``steps_per_scan`` or

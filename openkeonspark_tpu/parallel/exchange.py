@@ -1,57 +1,74 @@
-"""Boundary-entity exchange: the owner-directed sharded training step.
+"""Boundary-entity exchange: the owner-directed sharded training step,
+routed over the FLAT (data × model) device grid.
 
 The north-star comm pattern (BASELINE.json; SURVEY.md §2.3 row 2): row
 shards exchange **only the embedding rows each device actually needs or
-owns** — replacing ``parallel/sharded.py``'s full-row ``psum`` broadcast
-(cost ∝ batch_rows × d per device, regardless of how few rows a device
-touches) and the tiled full-stream ``all_gather`` of updates.
+owns**. Round-2 review (VERDICT.md #1) measured the previous design's
+fatal term: update streams were owner-routed over 'model' but then
+``all_gather``-ed over 'data', so every update row crossed the wire D
+times and the predicted scaling efficiency was 28% at a (2,2) mesh
+against the ≥80% target. This version removes that term entirely:
 
-Design (one XLA program per step, mesh ``('data','model')``, tables
-row-sharded over 'model' in contiguous ``Lp``-row ranges):
-
+- **Flat-grid row sharding.** Tables (and Adam moments) are row-sharded
+  over ALL ``N = D·M`` devices (``PartitionSpec(('data','model'), None)``,
+  contiguous ``Lp = rows/N`` ranges in flattened data-major order). The
+  owner of a row is a single device, so a routed update row crosses the
+  wire exactly once — no data-axis gather/sum step exists at all. Side
+  benefit: per-device table memory shrinks by another D×.
 - **Sub-batch split.** All M devices of a data row draw the *same* batch
-  (replicated sampling — it is pure vector math, far cheaper than a
-  coordination collective), then device m keeps the m-th contiguous
-  sub-slice. Gather/score/grad run on ``B_local/M`` rows per device, so
-  the model axis now parallelizes compute as well as storage (the legacy
-  step replicated compute M times).
-- **Owner-directed gather.** Each device buckets its distinct row ids by
-  owning shard (owner = id // Lp) into M capacity-``C`` buckets
-  (``C ≈ slack·U/M``), ``all_to_all``s the requests over 'model', serves
-  its owned rows, and ``all_to_all``s the rows back. Per-device traffic:
-  O(U·slack·d) instead of the psum's O(U·M·d) — the judge's
-  "O(unique_rows·d)" target (VERDICT.md #1).
+  (replicated sampling — pure vector math, cheaper than a coordination
+  collective); device m keeps the m-th contiguous sub-slice, so the model
+  axis parallelizes compute as well as storage.
+- **Owner-directed gather.** Each device DEDUPLICATES its row-id stream
+  (sort + rank; ``cfg.exchange_dedup``), buckets the distinct ids by
+  owning shard (owner = id // Lp) into N capacity-``C`` buckets, one
+  ``all_to_all`` over ('data','model') ships requests, owners serve their
+  rows, a second all_to_all ships them back. Per-device traffic:
+  O(unique_rows · slack · d) — independent of both mesh axes.
 - **Owner-directed update.** The merged (ids, row-grads) streams
   (``train.step.merged_row_updates``) are bucketed the same way and
-  ``all_to_all``ed to the owning shard; one ``all_gather`` over 'data'
-  then sums the data-parallel contributions. The all_gathered stream is
-  M× smaller than the legacy step's.
+  all_to_all'ed straight to the owning shard, which scatter-applies them
+  locally. ``exchange_dedup='both'`` additionally pre-aggregates duplicate
+  rows (``train.optim.aggregate_duplicates``) — off by default because the
+  segment-sum costs one extra update-stream-sized scatter pass on device.
+- **Small tables** (relation-anchored, ≤ ``SMALL_TABLE_ROWS`` physical
+  rows): request routing degenerates — the whole table is cheaper to
+  ``all_gather`` than to route row-wise, and the update is a dense
+  one-hot-matmul gradient + ``psum`` (rows · d floats, no fallback, no
+  sort). TransE's relation table costs ~0.3 MB/step this way vs ~2.8 MB
+  routed.
+- **Wire dtype** (``cfg.exchange_wire_dtype``, default bfloat16): row and
+  gradient payloads cross the wire in bf16 with f32 accumulation at the
+  receiver — halves exchange traffic. ``float32`` restores bit-parity
+  with the legacy psum step (what the parity tests pin).
 - **Exactness under skew.** Bucket overflow (a hot shard owning more than
-  C of a device's ids — possible when entity ids correlate with frequency)
-  is handled by a ``lax.cond``-gated exact fallback whose predicate is
-  ``psum``ed over the whole mesh, so every device takes the same branch:
-  the gather falls back to an all_gather+``psum_scatter`` of the overflow
-  ids, the update to an all_gather of the overflow stream folded into the
-  *same* optimizer application (lazy-Adam moments stay exact). When
-  nothing overflows the fallback branch never executes and costs no
-  communication.
+  C of a device's ids) is handled by ``lax.cond``-gated exact fallbacks
+  whose predicate is ``psum``-ed over the whole mesh, so every device
+  takes the same branch: the gather falls back to an
+  all_gather + ``psum_scatter`` of the overflowed ids, the update to an
+  all_gather of the overflow stream folded into the *same* optimizer
+  application (lazy-Adam moments stay exact). When nothing overflows the
+  fallback branches never execute and cost no communication. Deduped
+  gather buckets are additionally capped at ``Lp`` — a device cannot
+  request more distinct rows than the owner holds — which makes overflow
+  *impossible* whenever ``C`` reaches ``Lp``.
 - **Overlap.** The sub-batch is split into ``cfg.exchange_microbatches``
-  chunks with independent gather-exchange → score → update-exchange
-  chains; XLA's latency-hiding scheduler overlaps chunk k+1's exchange
-  with chunk k's compute (the north star's "overlap the exchange with
-  batch scoring"). Gradients are taken at the same params for every
-  chunk, so the math equals the unsplit step.
+  chunks with independent gather-exchange → score → update-route chains;
+  XLA's latency-hiding scheduler overlaps chunk k+1's exchange with chunk
+  k's compute. Gradients are taken at the same params for every chunk, so
+  the math equals the unsplit step.
 
-Numerics vs the legacy psum step: identical draws (same fold_in keys),
-identical gathered row values, identical per-row gradients (margin-loss
-grads are row-local); only float *summation order* differs where duplicate
-ids collide in a scatter — parity tests assert rtol=1e-6/atol=1e-7
-(``tests/test_exchange.py``).
+Numerics vs the legacy psum step (at ``exchange_wire_dtype='float32'``):
+identical draws (same fold_in keys), identical gathered row values,
+identical per-row gradients (margin-loss grads are row-local); only float
+*summation order* differs where duplicate ids collide in a scatter —
+parity tests assert rtol=1e-6/atol=1e-7 (``tests/test_exchange.py``).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+import math
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +80,8 @@ from openkeonspark_tpu.parallel.mesh import DATA, MODEL
 from openkeonspark_tpu.parallel.sharded import (_sampler_specs, _state_specs,
                                                 build_sharded_train_step)
 from openkeonspark_tpu.sampling.device import DeviceSampler, SampledBatch
-from openkeonspark_tpu.train.optim import Updates, make_optimizer
+from openkeonspark_tpu.train.optim import (Updates, aggregate_duplicates,
+                                           make_optimizer, scatter_add_rows)
 from openkeonspark_tpu.train.step import (TrainState, merged_row_updates,
                                           slot_loss_and_grads)
 
@@ -72,90 +90,140 @@ try:  # JAX ≥ 0.8 module layout
 except ImportError:  # pragma: no cover - older layout
     from jax.experimental.shard_map import shard_map  # type: ignore
 
+AX = (DATA, MODEL)  # the flat grid: axis_index(AX) = d_idx·M + m_idx
 
-def capacity_for(n_ids: int, m_axis: int, slack: float) -> int:
-    """Bucket capacity: ``slack`` × the uniform share, multiple of 8,
-    capped at the stream length (cap ⇒ overflow is impossible)."""
-    c = -(-int(n_ids * slack) // m_axis)
+# Tables at or below this many physical rows skip request routing: the
+# whole table is all_gather-ed (gather side) and the gradient travels as
+# one dense psum (update side). Matches train.optim.MATMUL_SCATTER_MAX_ROWS
+# so the dense gradient build uses the MXU one-hot path.
+SMALL_TABLE_ROWS = 512
+
+
+def expected_unique(stream_len: int, n_rows: int) -> float:
+    """Birthday estimate of distinct ids in a ``stream_len`` draw from
+    ``n_rows`` (uniform assumption; frequency skew only LOWERS the count,
+    so capacities sized on this are conservative)."""
+    n = max(1, n_rows)
+    return n * (1.0 - math.exp(-stream_len / n))
+
+
+def capacity_for(n_ids: int, n_parts: int, slack: float,
+                 expected: Optional[float] = None,
+                 local_rows: Optional[int] = None) -> int:
+    """Owner-bucket capacity: ``slack`` × the expected per-owner share
+    (the expected UNIQUE count for deduplicated streams), rounded up to a
+    multiple of 8, capped at the stream length. Deduped streams are also
+    capped at ``local_rows`` — a requester cannot need more distinct rows
+    than the owner holds, so hitting that cap makes overflow impossible."""
+    share = (expected if expected is not None else float(n_ids)) / n_parts
+    c = int(math.ceil(slack * share))
     c = -(-c // 8) * 8
-    return max(8, min(n_ids, c))
-
-
-def _bucket(ids: jax.Array, m_axis: int, cap: int, lp: int):
-    """Owner bucketing for one id stream. Returns (fits [U] bool,
-    slot [U] ∈ [0, M·C]  — M·C is the overflow sink slot)."""
-    owner = ids // lp
-    onehot = owner[:, None] == jnp.arange(m_axis, dtype=owner.dtype)[None, :]
-    pos = jnp.sum((jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1)
-                  * onehot, axis=1)
-    fits = pos < cap
-    slot = jnp.where(fits, owner.astype(jnp.int32) * cap + pos,
-                     m_axis * cap)
-    return fits, slot
+    c = max(8, min(n_ids, c))
+    if local_rows is not None:
+        c = min(c, local_rows)
+    return max(1, c)
 
 
 def _a2a(x: jax.Array) -> jax.Array:
-    return jax.lax.all_to_all(x, MODEL, split_axis=0, concat_axis=0)
+    return jax.lax.all_to_all(x, AX, split_axis=0, concat_axis=0)
 
 
-def _exchange_gather(local: jax.Array, ids: jax.Array, m_idx, m_axis: int,
-                     cap: int):
-    """Fetch global table rows from their owning shards over 'model'.
-    Returns (rows [U, d] with zeros where the request overflowed,
-    fits [U])."""
+def dedup_ids(ids: jax.Array, sentinel: int):
+    """(uniq [U] — distinct ids compacted to the front, ``sentinel``-padded;
+    u_idx [U] — position of each original id inside ``uniq``). One sort +
+    one int32 scatter; jit-static shapes."""
+    u = ids.shape[0]
+    order = jnp.argsort(ids)
+    s = jnp.take(ids, order)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    rank = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    u_idx = jnp.zeros((u,), jnp.int32).at[order].set(rank)
+    uniq = jnp.full((u,), sentinel, dtype=ids.dtype)
+    uniq = uniq.at[jnp.where(first, rank, u)].set(s, mode="drop")
+    return uniq, u_idx
+
+
+def _bucket(ids: jax.Array, n_parts: int, cap: int, lp: int,
+            valid: jax.Array):
+    """Owner bucketing for one id stream. ``valid`` masks real entries
+    (dedup padding / sentinels are routed to the sink slot and never
+    count as overflow). Returns (routed [U] bool, slot [U] ∈ [0, N·C] —
+    N·C is the sink slot, n_overflow scalar)."""
+    owner = jnp.clip(ids // lp, 0, n_parts - 1)
+    onehot = ((owner[:, None] ==
+               jnp.arange(n_parts, dtype=owner.dtype)[None, :])
+              & valid[:, None])
+    pos = jnp.sum((jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1)
+                  * onehot, axis=1)
+    fits = pos < cap
+    routed = valid & fits
+    slot = jnp.where(routed, owner.astype(jnp.int32) * cap + pos,
+                     n_parts * cap)
+    return routed, slot, jnp.sum(valid & ~fits).astype(jnp.int32)
+
+
+def _route_gather(local: jax.Array, ids: jax.Array, routed: jax.Array,
+                  slot: jax.Array, n_idx, n_parts: int, cap: int,
+                  wire_dt) -> jax.Array:
+    """Fetch rows for ``ids`` from their owning shards over the flat grid.
+    Returns rows [U, d] (zeros where not routed — overflow entries are
+    filled by the cond-gated fallback)."""
     lp, d = local.shape
-    fits, slot = _bucket(ids, m_axis, cap, lp)
-    req = jnp.full((m_axis * cap + 1,), -1, ids.dtype).at[slot].set(ids)
-    req = req[: m_axis * cap].reshape(m_axis, cap)
+    req = jnp.full((n_parts * cap + 1,), -1, ids.dtype).at[slot].set(ids)
+    req = req[: n_parts * cap].reshape(n_parts, cap)
     req_r = _a2a(req).reshape(-1)
-    lid = req_r - m_idx * lp
+    lid = req_r - n_idx * lp
     ok = (lid >= 0) & (lid < lp) & (req_r >= 0)
     rows = jnp.take(local, jnp.clip(lid, 0, lp - 1), axis=0)
-    rows = jnp.where(ok[:, None], rows, 0)
-    resp = _a2a(rows.reshape(m_axis, cap, d)).reshape(m_axis * cap, d)
-    out = jnp.take(resp, jnp.where(fits, slot, 0), axis=0)
-    return jnp.where(fits[:, None], out, 0.0), fits
+    rows = jnp.where(ok[:, None], rows, 0).astype(wire_dt)
+    resp = _a2a(rows.reshape(n_parts, cap, d)).reshape(n_parts * cap, d)
+    out = jnp.take(resp, jnp.where(routed, slot, 0), axis=0)
+    return jnp.where(routed[:, None], out.astype(local.dtype), 0.0)
 
 
-def _gather_fallback(local: jax.Array, ids: jax.Array, fits: jax.Array,
-                     m_idx, m_axis: int) -> jax.Array:
-    """Exact rows for overflowed requests: all_gather the (masked) ids over
-    'model', serve owned rows, psum_scatter each requester its slice.
-    Only reached inside the cond-gated slow branch."""
+def _gather_fallback(local: jax.Array, ids: jax.Array, routed: jax.Array,
+                     valid: jax.Array, n_idx, n_parts: int) -> jax.Array:
+    """Exact rows for overflowed requests (valid & ~routed): all_gather the
+    masked ids over the grid, serve owned rows, psum_scatter each requester
+    its slice. Only reached inside the cond-gated slow branch."""
     lp, d = local.shape
-    all_ids = jax.lax.all_gather(jnp.where(fits, -1, ids), MODEL)  # [M, U]
-    lid = all_ids - m_idx * lp
+    want = valid & ~routed
+    all_ids = jax.lax.all_gather(jnp.where(want, ids, -1), AX)  # [N, U]
+    lid = all_ids - n_idx * lp
     ok = (lid >= 0) & (lid < lp) & (all_ids >= 0)
     rows = jnp.take(local, jnp.clip(lid, 0, lp - 1).reshape(-1), axis=0)
     rows = jnp.where(ok.reshape(-1)[:, None], rows, 0)
-    return jax.lax.psum_scatter(rows.reshape(m_axis, ids.shape[0], d),
-                                MODEL, scatter_dimension=0, tiled=False)
+    return jax.lax.psum_scatter(rows.reshape(n_parts, ids.shape[0], d),
+                                AX, scatter_dimension=0, tiled=False)
 
 
-def _exchange_update(lp: int, ids: jax.Array, grads: jax.Array, m_idx,
-                     m_axis: int, cap: int):
-    """Route (id, row-grad) pairs to the owning shard over 'model'.
-    Returns (local_ids [M·C] with the optimizer's discard sentinel ``lp``
-    for padding/non-owned, grads [M·C, d], ovf_ids [U] — the device's own
-    overflow rows, others marked with the global sentinel — and the
-    overflow count)."""
+def _route_update(lp: int, ids: jax.Array, grads: jax.Array,
+                  valid: jax.Array, n_idx, n_parts: int, cap: int,
+                  wire_dt):
+    """Route (id, row-grad) pairs straight to the owning shard over the
+    flat grid. Returns (local_ids [N·C] with the optimizer's discard
+    sentinel ``lp`` for padding/non-owned, grads [N·C, d] f32,
+    ovf_ids [U] — this device's own overflowed rows, others marked with
+    the global sentinel — and the overflow count)."""
     d = grads.shape[1]
-    sent = m_axis * lp  # global sentinel: maps past every shard's range
-    fits, slot = _bucket(ids, m_axis, cap, lp)
+    sent = n_parts * lp  # global sentinel: past every shard's range
+    routed, slot, n_ovf = _bucket(ids, n_parts, cap, lp, valid)
     # inverse permutation: ONE int32 scatter serves both id + grad buffers
-    src = jnp.full((m_axis * cap + 1,), ids.shape[0], jnp.int32)
+    src = jnp.full((n_parts * cap + 1,), ids.shape[0], jnp.int32)
     src = src.at[slot].set(jnp.arange(ids.shape[0], dtype=jnp.int32))
-    src = src[: m_axis * cap]
+    src = src[: n_parts * cap]
     buf_ids = jnp.take(jnp.append(ids, jnp.asarray(sent, ids.dtype)), src)
-    buf_g = jnp.take(jnp.concatenate([grads, jnp.zeros((1, d), grads.dtype)]),
-                     src, axis=0)
-    rid = _a2a(buf_ids.reshape(m_axis, cap)).reshape(-1)
-    rg = _a2a(buf_g.reshape(m_axis, cap, d)).reshape(-1, d)
-    lid = rid - m_idx * lp
+    buf_ids = jnp.where(buf_ids >= sent, sent, buf_ids)  # sentinel pads
+    buf_g = jnp.take(
+        jnp.concatenate([grads, jnp.zeros((1, d), grads.dtype)]), src,
+        axis=0).astype(wire_dt)
+    rid = _a2a(buf_ids.reshape(n_parts, cap)).reshape(-1)
+    rg = _a2a(buf_g.reshape(n_parts, cap, d)).reshape(-1, d)
+    rg = rg.astype(grads.dtype)
+    lid = rid - n_idx * lp
     owned = (lid >= 0) & (lid < lp)
     lid = jnp.where(owned, lid, lp).astype(jnp.int32)
-    ovf_ids = jnp.where(fits, jnp.asarray(sent, ids.dtype), ids)
-    n_ovf = jnp.sum(~fits)
+    ovf_ids = jnp.where(routed | ~valid, jnp.asarray(sent, ids.dtype), ids)
     return lid, rg, ovf_ids, n_ovf
 
 
@@ -205,30 +273,44 @@ def _gather_plan(model: KGEModel, batch: SampledBatch):
     return table_ids, assemble
 
 
-def _sub_batch(batch: SampledBatch, m_idx, b_sub: int) -> SampledBatch:
+def _sub_batch(batch: SampledBatch, sub_idx, b_sub: int) -> SampledBatch:
     def cut(x):
         return (None if x is None else
-                jax.lax.dynamic_slice_in_dim(x, m_idx * b_sub, b_sub, 0))
+                jax.lax.dynamic_slice_in_dim(x, sub_idx * b_sub, b_sub, 0))
     return SampledBatch(h=cut(batch.h), t=cut(batch.t), r=cut(batch.r),
                         neg_h=cut(batch.neg_h), neg_t=cut(batch.neg_t),
                         neg_rel=cut(batch.neg_rel))
 
 
+def plan_sharded_step(cfg: Config, batch_size: int, mesh: Mesh) -> str:
+    """'exchange' | 'psum' — the step kind a (cfg, batch, mesh) triple will
+    actually run. Callers MUST shard the state to match:
+    ``shard_state(state, mesh, flat=(kind == 'exchange'))``."""
+    d_axis, m_axis = mesh.shape[DATA], mesh.shape[MODEL]
+    if d_axis * m_axis == 1:
+        return "psum"
+    b_local = max(1, batch_size // d_axis)
+    if cfg.sharded_step == "exchange" and b_local % m_axis == 0:
+        return "exchange"
+    return "psum"
+
+
 def build_exchange_train_step(model: KGEModel, cfg: Config,
                               sampler: DeviceSampler, batch_size: int,
                               mesh: Mesh) -> Callable:
-    """(state, sampler, key) → (state, loss) — owner-directed exchange step.
+    """(state, sampler, key) → (state, loss) — owner-directed exchange step
+    over the flat grid. State must be sharded with
+    ``shard_state(state, mesh, flat=True)`` and tables padded to a multiple
+    of D·M (``init_state(..., pad_to_multiple=D*M)``).
 
     ``batch_size`` is global; each data row draws ``batch_size // D``
     positives (identical draws to the legacy step) and each device keeps a
-    ``B_local / M`` sub-slice. Requires ``B_local % M == 0`` and table rows
-    padded to a multiple of M."""
+    ``B_local / M`` sub-slice. Requires ``B_local % M == 0``."""
     d_axis = mesh.shape[DATA]
     m_axis = mesh.shape[MODEL]
+    n_grid = d_axis * m_axis
     b_local = max(1, batch_size // d_axis)
-    if m_axis == 1:
-        # no model sharding → nothing to exchange; the legacy step IS the
-        # minimal-comm program (local takes + loss psum + data all_gather)
+    if n_grid == 1:
         return build_sharded_train_step(model, cfg, sampler, batch_size,
                                         mesh)
     if b_local % m_axis:
@@ -243,10 +325,14 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
     n_train = sampler.n_train
     opt = make_optimizer(cfg)
     slack = cfg.exchange_slack
+    wire_dt = jnp.dtype(cfg.exchange_wire_dtype)
+    dedup_gather = cfg.exchange_dedup in ("gather", "both")
+    dedup_update = cfg.exchange_dedup == "both"
 
     def step(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
         d_idx = jax.lax.axis_index(DATA)
         m_idx = jax.lax.axis_index(MODEL)
+        n_idx = d_idx * m_axis + m_idx          # flat data-major index
         key_d = jax.random.fold_in(key, d_idx) if d_axis > 1 else key
 
         base = n_train // d_axis
@@ -260,38 +346,79 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
         loss = jnp.zeros((), jnp.float32)
         main_pairs: Dict[str, List[Tuple[jax.Array, jax.Array]]] = {}
         ovf_pairs: Dict[str, List[Tuple[jax.Array, jax.Array]]] = {}
+        dense_grads: Dict[str, jax.Array] = {}
         n_ovf_upd = jnp.zeros((), jnp.int32)
+
+        def small(table):
+            return state.params[table].shape[0] * n_grid <= SMALL_TABLE_ROWS
+
+        # small tables: ONE table all_gather serves every chunk
+        small_full = {
+            t: jax.lax.all_gather(
+                state.params[t].astype(wire_dt), AX,
+                tiled=True).astype(state.params[t].dtype)
+            for t in sorted({tb for _, tb, _ in model.gathers()})
+            if small(t)}
 
         for c in range(mb):
             sub = _sub_batch(batch, m_idx * mb + c, b_sub)
             table_ids, assemble = _gather_plan(model, sub)
 
             # --- owner-directed gather, cond-gated exact fallback -------
-            rows_by_table, fits_by_table = {}, {}
+            rows_by_table: Dict[str, jax.Array] = {}
+            fb_args = {}   # table -> (uniq/ids, routed, valid, u_idx|None)
             n_ovf = jnp.zeros((), jnp.int32)
             for table, ids in table_ids.items():
-                lp = state.params[table].shape[0]
-                cap = capacity_for(ids.shape[0], m_axis, slack)
-                rows, fits = _exchange_gather(state.params[table], ids,
-                                              m_idx, m_axis, cap)
-                rows_by_table[table] = rows
-                fits_by_table[table] = fits
-                n_ovf = n_ovf + jnp.sum(~fits).astype(jnp.int32)
-            n_ovf = jax.lax.psum(n_ovf, (DATA, MODEL))
-            names = sorted(table_ids)
+                local = state.params[table]
+                lp = local.shape[0]
+                if table in small_full:
+                    rows_by_table[table] = jnp.take(small_full[table], ids,
+                                                    axis=0)
+                    continue
+                rows_phys = lp * n_grid
+                if dedup_gather:
+                    uniq, u_idx = dedup_ids(ids, sentinel=rows_phys)
+                    valid = uniq < rows_phys
+                    cap = capacity_for(
+                        uniq.shape[0], n_grid, slack,
+                        expected=expected_unique(ids.shape[0], rows_phys),
+                        local_rows=lp)
+                    routed, slot, novf = _bucket(uniq, n_grid, cap, lp,
+                                                 valid)
+                    rows_u = _route_gather(local, uniq, routed, slot, n_idx,
+                                           n_grid, cap, wire_dt)
+                    fb_args[table] = (uniq, routed, valid, u_idx)
+                    rows_by_table[table] = (rows_u, u_idx)
+                else:
+                    valid = jnp.ones(ids.shape, bool)
+                    cap = capacity_for(ids.shape[0], n_grid, slack)
+                    routed, slot, novf = _bucket(ids, n_grid, cap, lp,
+                                                 valid)
+                    rows = _route_gather(local, ids, routed, slot, n_idx,
+                                         n_grid, cap, wire_dt)
+                    fb_args[table] = (ids, routed, valid, None)
+                    rows_by_table[table] = (rows, None)
+                n_ovf = n_ovf + novf
+            n_ovf = jax.lax.psum(n_ovf, AX)
+            names = sorted(fb_args)
 
             def slow(_):
                 return tuple(
-                    _gather_fallback(state.params[t], table_ids[t],
-                                     fits_by_table[t], m_idx, m_axis)
+                    _gather_fallback(state.params[t], fb_args[t][0],
+                                     fb_args[t][1], fb_args[t][2], n_idx,
+                                     n_grid)
                     for t in names)
 
             def fast(_):
-                return tuple(jnp.zeros_like(rows_by_table[t]) for t in names)
+                return tuple(jnp.zeros_like(rows_by_table[t][0])
+                             for t in names)
 
             extra = jax.lax.cond(n_ovf > 0, slow, fast, None)
             for t, ex in zip(names, extra):
-                rows_by_table[t] = rows_by_table[t] + ex
+                rows, u_idx = rows_by_table[t]
+                rows = rows + ex
+                rows_by_table[t] = (jnp.take(rows, u_idx, axis=0)
+                                    if u_idx is not None else rows)
 
             slots = assemble(rows_by_table)
             n_neg = cfg.negative_ent + cfg.negative_rel
@@ -299,7 +426,7 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
                                                  n_neg)
             loss = loss + closs
 
-            # --- owner-directed update exchange --------------------------
+            # --- owner-directed update routing ---------------------------
             for table, pairs in merged_row_updates(model, sub,
                                                    g_slots).items():
                 if len(pairs) == 1:
@@ -308,24 +435,51 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
                     uid = jnp.concatenate([i for i, _ in pairs])
                     ug = jnp.concatenate([g for _, g in pairs])
                 lp = state.params[table].shape[0]
-                cap = capacity_for(uid.shape[0], m_axis, slack)
-                lid, rg, ovf_ids, novf = _exchange_update(
-                    lp, uid, ug, m_idx, m_axis, cap)
+                rows_phys = lp * n_grid
+                if table in small_full:
+                    # dense gradient for tiny tables: one [rows, d+1]
+                    # buffer (last column counts touches so lazy-Adam only
+                    # updates moments of rows the batch actually hit),
+                    # summed by a single psum at the end — no routing
+                    g_dense = scatter_add_rows(
+                        jnp.zeros((rows_phys, ug.shape[1] + 1), ug.dtype),
+                        uid,
+                        jnp.concatenate(
+                            [ug, jnp.ones((ug.shape[0], 1), ug.dtype)], 1))
+                    dense_grads[table] = (dense_grads.get(table, 0.0)
+                                          + g_dense)
+                    continue
+                if dedup_update:
+                    uid, ug = aggregate_duplicates(uid, ug,
+                                                   sentinel=rows_phys)
+                    valid = uid < rows_phys
+                    cap = capacity_for(
+                        uid.shape[0], n_grid, slack,
+                        expected=expected_unique(uid.shape[0], rows_phys),
+                        local_rows=lp)
+                else:
+                    valid = jnp.ones(uid.shape, bool)
+                    cap = capacity_for(uid.shape[0], n_grid, slack)
+                lid, rg, ovf_ids, novf = _route_update(
+                    lp, uid, ug, valid, n_idx, n_grid, cap, wire_dt)
                 main_pairs.setdefault(table, []).append((lid, rg))
                 ovf_pairs.setdefault(table, []).append((ovf_ids, ug))
-                n_ovf_upd = n_ovf_upd + novf.astype(jnp.int32)
+                n_ovf_upd = n_ovf_upd + novf
 
-        # --- one all_gather over 'data' sums data-parallel streams -------
         updates: Updates = {}
         for table, pairs in main_pairs.items():
             lid = jnp.concatenate([i for i, _ in pairs])
             g = jnp.concatenate([gg for _, gg in pairs])
-            if d_axis > 1:
-                lid = jax.lax.all_gather(lid, DATA, tiled=True)
-                g = jax.lax.all_gather(g, DATA, tiled=True)
             updates[table] = [(lid, g)]
+        for table, g_dense in dense_grads.items():
+            lp = state.params[table].shape[0]
+            g_sum = jax.lax.psum(g_dense, AX)
+            g_local = jax.lax.dynamic_slice_in_dim(g_sum, n_idx * lp, lp, 0)
+            touched = g_local[:, -1] > 0
+            lid = jnp.where(touched, jnp.arange(lp, dtype=jnp.int32), lp)
+            updates[table] = [(lid, g_local[:, :-1])]
 
-        n_ovf_upd = jax.lax.psum(n_ovf_upd, (DATA, MODEL))
+        n_ovf_upd = jax.lax.psum(n_ovf_upd, AX)
 
         def apply_fast(operand):
             params, opt_state = operand
@@ -337,9 +491,9 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
             for table, pairs in ovf_pairs.items():
                 lp = state.params[table].shape[0]
                 for oid, og in pairs:
-                    gid = jax.lax.all_gather(oid, (DATA, MODEL), tiled=True)
-                    gg = jax.lax.all_gather(og, (DATA, MODEL), tiled=True)
-                    lid = gid - m_idx * lp
+                    gid = jax.lax.all_gather(oid, AX, tiled=True)
+                    gg = jax.lax.all_gather(og, AX, tiled=True)
+                    lid = gid - n_idx * lp
                     owned = (lid >= 0) & (lid < lp)
                     ups[table].append(
                         (jnp.where(owned, lid, lp).astype(jnp.int32),
@@ -349,10 +503,10 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
         params, opt_state = jax.lax.cond(
             n_ovf_upd > 0, apply_slow, apply_fast,
             (state.params, state.opt_state))
-        global_loss = jax.lax.psum(loss, (DATA, MODEL))
+        global_loss = jax.lax.psum(loss, AX)
         return (TrainState(params, opt_state, state.step + 1), global_loss)
 
-    sspec = _state_specs(model, cfg)
+    sspec = _state_specs(model, cfg, flat=True)
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(sspec, _sampler_specs(sampler), P()),
@@ -369,7 +523,8 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
 def make_exchange_step_builder(mesh: Mesh) -> Callable:
     """Adapter for ``train.loop.train(step_builder=...)`` — picks the
     exchange step when the geometry allows it, the legacy psum step
-    otherwise."""
+    otherwise. The caller must shard the state per
+    :func:`plan_sharded_step`."""
 
     def builder(model, cfg, sampler, batch_size):
         return build_train_step_for(model, cfg, sampler, batch_size, mesh)
@@ -380,14 +535,11 @@ def make_exchange_step_builder(mesh: Mesh) -> Callable:
 def build_train_step_for(model: KGEModel, cfg: Config,
                          sampler: DeviceSampler, batch_size: int,
                          mesh: Mesh) -> Callable:
-    """Sharded step dispatch: ``cfg.sharded_step`` = 'exchange' (default,
-    owner-directed boundary exchange) falls back to 'psum' when the
-    per-shard batch does not divide by the model axis."""
-    d_axis = mesh.shape[DATA]
-    m_axis = mesh.shape[MODEL]
-    b_local = max(1, batch_size // d_axis)
-    if (cfg.sharded_step == "exchange" and m_axis > 1
-            and b_local % m_axis == 0):
+    """Sharded step dispatch per :func:`plan_sharded_step`:
+    ``cfg.sharded_step`` = 'exchange' (default, owner-directed flat-grid
+    exchange) falls back to 'psum' when the per-shard batch does not
+    divide by the model axis."""
+    if plan_sharded_step(cfg, batch_size, mesh) == "exchange":
         return build_exchange_train_step(model, cfg, sampler, batch_size,
                                          mesh)
     return build_sharded_train_step(model, cfg, sampler, batch_size, mesh)

@@ -45,9 +45,13 @@ def make_mesh(shape: Tuple[int, int] = (1, 1),
     return Mesh(arr, (DATA, MODEL))
 
 
-def table_spec() -> P:
-    """Embedding tables: rows sharded over 'model', replicated over 'data'."""
-    return P(MODEL, None)
+def table_spec(flat: bool = False) -> P:
+    """Embedding-table row sharding. ``flat=False``: rows over 'model',
+    replicated over 'data' (the legacy psum step's layout). ``flat=True``:
+    rows over the WHOLE (data×model) grid — the owner-directed exchange
+    step's layout, where every update row crosses the wire exactly once
+    and per-device table memory shrinks by another data-axis factor."""
+    return P((DATA, MODEL), None) if flat else P(MODEL, None)
 
 
 def _put_global(x, sharding: NamedSharding):
@@ -62,11 +66,13 @@ def _put_global(x, sharding: NamedSharding):
                                         lambda idx: x[idx])
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place params + opt state row-sharded over 'model'. Table row counts
-    must be divisible by the model axis (init with
-    ``pad_to_multiple=mesh.shape['model']``)."""
-    tspec = NamedSharding(mesh, table_spec())
+def shard_state(state: TrainState, mesh: Mesh,
+                flat: bool = False) -> TrainState:
+    """Place params + opt state row-sharded per :func:`table_spec`. Table
+    row counts must be divisible by the sharded axis size (init with
+    ``pad_to_multiple=M`` for the legacy layout, ``=D·M`` for ``flat``;
+    padding to ``D·M`` always is safe for both)."""
+    tspec = NamedSharding(mesh, table_spec(flat))
     rspec = NamedSharding(mesh, P())
 
     def put_tables(tree):

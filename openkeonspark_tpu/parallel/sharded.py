@@ -46,10 +46,14 @@ except ImportError:  # pragma: no cover - older layout
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _state_specs(model: KGEModel, cfg: Config) -> TrainState:
+def _state_specs(model: KGEModel, cfg: Config,
+                 flat: bool = False) -> TrainState:
     """Pytree of PartitionSpecs matching TrainState structure: 2-D tables
-    row-sharded over 'model', scalars replicated."""
-    tables = {name: P(MODEL, None) for name in model.tables(cfg, 1, 1)}
+    row-sharded over 'model' (``flat=False``) or over the whole
+    (data×model) grid (``flat=True``, the exchange step's layout),
+    scalars replicated."""
+    spec = P((DATA, MODEL), None) if flat else P(MODEL, None)
+    tables = {name: spec for name in model.tables(cfg, 1, 1)}
     if cfg.opt_method.lower() == "adam":
         opt = {"m": dict(tables), "v": dict(tables)}
     else:

@@ -1,6 +1,8 @@
-"""Boundary-exchange sharded step (parallel/exchange.py): parity with the
-legacy psum step, exactness under adversarial bucket overflow, and the
-comm-volume drop the north star demands (VERDICT.md #1/#2)."""
+"""Flat-grid boundary-exchange sharded step (parallel/exchange.py): parity
+with the legacy psum step, exactness under adversarial bucket overflow,
+dedup-mode invariance, bf16-wire quality, the multi-step Adam soak the r2
+advisor asked for, and the comm-volume drop the north star demands
+(VERDICT.md r2 #1/#6)."""
 
 import jax
 import jax.numpy as jnp
@@ -21,13 +23,28 @@ from openkeonspark_tpu.train.step import init_state
 
 @pytest.fixture(scope="module")
 def kg():
+    """Small KG: the entity table fits SMALL_TABLE_ROWS, so BOTH tables
+    ride the dense all_gather+psum route — that path's parity coverage."""
     ds = random_kg(n_ent=100, n_rel=6, n_triples=1000, n_valid=30, n_test=30,
                    seed=2)
     idx = build_kg_index(ds, for_eval=False)
     return ds, idx
 
 
+@pytest.fixture(scope="module")
+def kg_big():
+    """Entity table > SMALL_TABLE_ROWS: entities take the owner-directed
+    request-routing path (the production path at real KG sizes)."""
+    ds = random_kg(n_ent=2000, n_rel=6, n_triples=4000, n_valid=30,
+                   n_test=30, seed=3)
+    idx = build_kg_index(ds, for_eval=False)
+    return ds, idx
+
+
 def setup(ds, idx, model_name="transe", opt="sgd", pad=1, **cfg_kw):
+    # parity runs pin the f32 wire format unless the test overrides it —
+    # bf16 payloads are a documented quality/throughput trade, not parity
+    cfg_kw.setdefault("exchange_wire_dtype", "float32")
     cfg = Config(model=model_name, hidden_size=16, alpha=0.05,
                  negative_ent=2, negative_rel=1, opt_method=opt, **cfg_kw)
     model = get_model(cfg.model)
@@ -41,17 +58,20 @@ def run_pair(ds, idx, mesh_shape, batch, model_name="transe", opt="sgd",
              steps=3, **cfg_kw):
     """Run legacy psum step and exchange step with identical keys; return
     final (loss, params, first-moments) of each. Draws are identical by
-    construction (same fold_in(key, data_idx) per data row)."""
+    construction (same fold_in(key, data_idx) per data row). The two steps
+    use DIFFERENT state layouts: 'model'-row sharding for psum, flat
+    (data×model) row sharding for the exchange."""
+    n = mesh_shape[0] * mesh_shape[1]
     cfg, model, sampler, state = setup(ds, idx, model_name, opt,
-                                       pad=mesh_shape[1], **cfg_kw)
+                                       pad=n, **cfg_kw)
     mesh = make_mesh(mesh_shape)
-    sh0 = shard_state(state, mesh)
     ssampler = shard_sampler(sampler, mesh)
     legacy = jax.jit(build_sharded_train_step(model, cfg, ssampler, batch,
                                               mesh))
     exch = jax.jit(build_exchange_train_step(model, cfg, ssampler, batch,
                                              mesh))
-    a, b = sh0, sh0
+    a = shard_state(state, mesh, flat=False)
+    b = shard_state(state, mesh, flat=True)
     la = lb = None
     for i in range(steps):
         a, la = legacy(a, ssampler, jax.random.key(i))
@@ -66,7 +86,7 @@ def run_pair(ds, idx, mesh_shape, batch, model_name="transe", opt="sgd",
     return out(a, la), out(b, lb)
 
 
-def assert_match(pa, pb, ma=None, msg=""):
+def assert_match(pa, pb, ma=None, msg="", rtol=1e-6, atol=1e-7):
     """Tight allclose — except, for Adam, cells whose aggregated gradient
     is exact-cancellation noise (|G| at float-reassociation ulp level):
     there ``m/(sqrt(v)+eps)`` is ±sign(G)-scaled and reordered summation
@@ -74,25 +94,27 @@ def assert_match(pa, pb, ma=None, msg=""):
     jump ≈ 2·lr_t). Everything real must match to 1e-6."""
     for k in pa:
         if ma is None:
-            np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7,
+            np.testing.assert_allclose(pa[k], pb[k], rtol=rtol, atol=atol,
                                        err_msg=f"{msg}/{k}")
         else:
             noise = np.abs(ma[k]) < 1e-5
             np.testing.assert_allclose(pa[k][~noise], pb[k][~noise],
-                                       rtol=1e-6, atol=1e-7,
+                                       rtol=rtol, atol=atol,
                                        err_msg=f"{msg}/{k}")
             np.testing.assert_allclose(pa[k][noise], pb[k][noise], atol=0.5,
                                        err_msg=f"{msg}/{k} (noise cells)")
 
 
 @pytest.mark.parametrize("opt", ["sgd", "adam"])
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (1, 4), (2, 2), (4, 2)])
-def test_exchange_matches_legacy(kg, mesh_shape, opt):
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 1), (2, 2), (4, 2)])
+def test_exchange_matches_legacy(kg_big, mesh_shape, opt):
     """Same draws ⇒ gathered rows and per-row gradients are exact; only
     duplicate-id scatter order differs (float reassociation). Adam runs
     one step (its cancelled-gradient sign sensitivity compounds over
-    steps — see assert_match)."""
-    ds, idx = kg
+    steps — see assert_match); the 50-step soak below guards the
+    trajectory at convergence level. (2,1) exercises the model-axis-1
+    flat-grid case the old design special-cased away."""
+    ds, idx = kg_big
     steps = 1 if opt == "adam" else 3
     (la, pa, ma), (lb, pb, _) = run_pair(ds, idx, mesh_shape, batch=64,
                                          opt=opt, steps=steps)
@@ -100,33 +122,57 @@ def test_exchange_matches_legacy(kg, mesh_shape, opt):
     assert_match(pa, pb, ma, msg=f"{opt}/{mesh_shape}")
 
 
-@pytest.mark.parametrize("model_name", ["transr", "complex"])
-def test_exchange_matches_legacy_other_models(kg, model_name):
-    """Wide-row (TransR transfer_matrix) and 2d-lane (ComplEx) tables ride
-    the same exchange machinery."""
+@pytest.mark.parametrize("opt", ["sgd", "adam"])
+def test_exchange_small_table_path_matches_legacy(kg, opt):
+    """On a tiny KG BOTH tables take the small-table route (full-table
+    all_gather + dense gradient psum, touched-row mask for lazy Adam) —
+    must still reproduce the legacy step exactly."""
     ds, idx = kg
+    (la, pa, ma), (lb, pb, _) = run_pair(ds, idx, (2, 2), batch=64, opt=opt,
+                                         steps=1 if opt == "adam" else 3)
+    assert la == pytest.approx(lb, rel=1e-6)
+    assert_match(pa, pb, ma, msg=f"small-table/{opt}")
+
+
+@pytest.mark.parametrize("model_name", ["transr", "complex"])
+def test_exchange_matches_legacy_other_models(kg_big, model_name):
+    """Wide-row (TransR transfer_matrix — a small-table dense-psum route)
+    and 2d-lane (ComplEx) tables ride the same exchange machinery."""
+    ds, idx = kg_big
     (la, pa, _), (lb, pb, _) = run_pair(ds, idx, (2, 2), batch=64,
                                         model_name=model_name)
     assert la == pytest.approx(lb, rel=1e-6)
     assert_match(pa, pb, msg=model_name)
 
 
-def test_exchange_overflow_fallback_is_exact(kg):
-    """slack → 0 forces every bucket to overflow: the cond-gated fallback
-    (gather psum_scatter + update all_gather folded into one optimizer
+@pytest.mark.parametrize("dedup", ["off", "both"])
+def test_exchange_dedup_modes_match_legacy(kg_big, dedup):
+    """Every dedup mode is exact: 'off' routes raw streams, 'both' also
+    pre-aggregates update duplicates (changes summation order only)."""
+    ds, idx = kg_big
+    (la, pa, _), (lb, pb, _) = run_pair(ds, idx, (2, 2), batch=64,
+                                        exchange_dedup=dedup)
+    assert la == pytest.approx(lb, rel=1e-6)
+    assert_match(pa, pb, msg=f"dedup={dedup}")
+
+
+def test_exchange_overflow_fallback_is_exact(kg_big):
+    """slack → 0 forces bucket overflow (capacity floors at 8 while some
+    owner receives more ids): the cond-gated fallback (gather
+    all_gather+psum_scatter, update all_gather folded into one optimizer
     apply) must still reproduce the legacy step."""
-    ds, idx = kg
-    (la, pa, ma), (lb, pb, _) = run_pair(ds, idx, (2, 4), batch=64,
+    ds, idx = kg_big
+    (la, pa, ma), (lb, pb, _) = run_pair(ds, idx, (2, 4), batch=512,
                                          opt="adam", steps=1,
                                          exchange_slack=0.01)
     assert la == pytest.approx(lb, rel=1e-6)
     assert_match(pa, pb, ma, msg="overflow")
 
 
-def test_exchange_microbatch_invariance(kg):
+def test_exchange_microbatch_invariance(kg_big):
     """exchange_microbatches only reorders independent chains; gradients
     are taken at the same params, so results must agree across settings."""
-    ds, idx = kg
+    ds, idx = kg_big
     (_, p1, _), (_, p2, _) = (
         run_pair(ds, idx, (1, 4), batch=64,
                  exchange_microbatches=m)[1]  # exchange result only
@@ -136,33 +182,117 @@ def test_exchange_microbatch_invariance(kg):
                                    err_msg=k)
 
 
-@pytest.mark.parametrize("mesh_shape,min_ratio", [((2, 4), 1.7),
-                                                  ((1, 8), 3.0)])
-def test_exchange_comm_bytes_drop(kg, mesh_shape, min_ratio):
+def test_exchange_bf16_wire_close_to_f32(kg_big):
+    """The default bfloat16 wire format quantizes rows/grads in transit
+    (f32 accumulation at the receiver): after 3 SGD steps the tables must
+    track the f32-wire run to bf16 resolution (~0.4% relative), and train
+    loss must stay finite."""
+    ds, idx = kg_big
+    (_, pf, _), (lb16, pb16, _) = (
+        run_pair(ds, idx, (2, 2), batch=64,
+                 exchange_wire_dtype=w)[1] for w in ("float32", "bfloat16"))
+    assert np.isfinite(lb16)
+    for k in pf:
+        diff = np.abs(pf[k] - pb16[k])
+        tol = 0.02 * np.abs(pf[k]) + 0.01
+        # a bf16-rounded score can cross the hinge boundary and toggle an
+        # entire ±lr·grad update — allow that on a sliver of cells, but
+        # the bulk must track at bf16 resolution and RMS error stay small
+        frac_out = float(np.mean(diff > tol))
+        assert frac_out <= max(0.01, 2.0 / diff.size), (k, frac_out)
+        rms = float(np.sqrt(np.mean(diff ** 2)))
+        scale = float(np.sqrt(np.mean(pf[k] ** 2)))
+        assert rms < 0.02 * scale, (k, rms, scale)
+
+
+def test_exchange_adam_soak_50_steps(kg_big):
+    """r2 advisor + VERDICT #6: multi-step Adam drift between exchange and
+    psum paths must stay at convergence-level agreement — 50 steps on a
+    (2,2) mesh, loss curves within 1% relative throughout the tail and
+    final parameter RMS error ≪ parameter scale."""
+    ds, idx = kg_big
+    n = 4
+    cfg, model, sampler, state = setup(ds, idx, opt="adam", pad=n)
+    mesh = make_mesh((2, 2))
+    ss = shard_sampler(sampler, mesh)
+    legacy = jax.jit(build_sharded_train_step(model, cfg, ss, 64, mesh))
+    exch = jax.jit(build_exchange_train_step(model, cfg, ss, 64, mesh))
+    a = shard_state(state, mesh, flat=False)
+    b = shard_state(state, mesh, flat=True)
+    curve_a, curve_b = [], []
+    for i in range(50):
+        a, la = legacy(a, ss, jax.random.key(i))
+        b, lb = exch(b, ss, jax.random.key(i))
+        curve_a.append(float(la))
+        curve_b.append(float(lb))
+    # losses track each other through training, not just at step 1
+    tail_a, tail_b = np.array(curve_a[10:]), np.array(curve_b[10:])
+    np.testing.assert_allclose(tail_b, tail_a, rtol=0.01)
+    specs = model.tables(cfg, ds.n_ent, ds.n_rel)
+    pa = strip_padding(a.params, specs)
+    pb = strip_padding(b.params, specs)
+    for k in pa:
+        rms = float(np.sqrt(np.mean((pa[k] - pb[k]) ** 2)))
+        scale = float(np.sqrt(np.mean(pa[k] ** 2)))
+        assert rms < 0.02 * scale, (k, rms, scale)
+
+
+@pytest.mark.parametrize("mesh_shape,min_ratio", [((2, 4), 3.0),
+                                                  ((1, 8), 3.0),
+                                                  ((4, 2), 3.0)])
+def test_exchange_comm_bytes_drop(kg_big, mesh_shape, min_ratio):
     """The whole point: per-device collective payload must drop vs the
     legacy psum/all_gather step — O(batch_rows·d·M) → O(unique_rows·d·slack)
-    (VERDICT.md #1 'done' criterion). The legacy psum payload per device is
-    independent of M while the exchange shrinks ∝ 1/M, so the drop must
-    grow with the model axis: ≥1.7× at M=4 (slack 2 pads each bucket 2×),
-    ≥3× at M=8."""
-    ds, idx = kg
+    with every update row crossing the wire ONCE (VERDICT.md r2 #1). The
+    (4,2) case is the one the old design lost: its update all_gather over
+    'data' scaled payload ∝ D."""
+    ds, idx = kg_big
+    n = mesh_shape[0] * mesh_shape[1]
     cfg = Config(model="transe", hidden_size=64, alpha=0.05,
-                 negative_ent=2, negative_rel=1, exchange_microbatches=1)
+                 negative_ent=2, negative_rel=1, exchange_microbatches=1,
+                 exchange_wire_dtype="float32")
     model = get_model(cfg.model)
     sampler = DeviceSampler.build(ds, idx)
     state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
-                       pad_to_multiple=mesh_shape[1])
+                       pad_to_multiple=n)
     mesh = make_mesh(mesh_shape)
-    sh = shard_state(state, mesh)
     ss = shard_sampler(sampler, mesh)
     batch = 256
     legacy = jax.jit(build_sharded_train_step(model, cfg, ss, batch, mesh))
     exch = jax.jit(build_exchange_train_step(model, cfg, ss, batch, mesh))
     key = jax.random.key(0)
-    b_legacy = collective_bytes(legacy, sh, ss, key)
-    b_exch = collective_bytes(exch, sh, ss, key)
+    b_legacy = collective_bytes(legacy, shard_state(state, mesh), ss, key)
+    b_exch = collective_bytes(exch, shard_state(state, mesh, flat=True),
+                              ss, key)
     heavy_legacy = b_legacy["all-reduce"] + b_legacy["all-gather"]
     heavy_exch = (b_exch["all-to-all"] + b_exch["all-gather"]
                   + b_exch["all-reduce"])
     assert heavy_exch * min_ratio <= heavy_legacy, (b_legacy, b_exch)
     assert b_exch["all-to-all"] > 0  # the exchange actually lowered to a2a
+
+
+def test_exchange_wire_bytes_scale_free(kg_big):
+    """Per-device exchange PAYLOAD must be ~independent of the mesh size
+    at fixed per-device batch (weak scaling) — that is what makes the
+    ≥80%-at-2-hosts prediction possible. Wire bytes grow only by the
+    (N−1)/N locality factor, which we normalize out; 30% headroom covers
+    bucket-capacity rounding."""
+    ds, idx = kg_big
+    cfg = Config(model="transe", hidden_size=64, negative_ent=2,
+                 exchange_microbatches=1)
+    model = get_model(cfg.model)
+    sampler = DeviceSampler.build(ds, idx)
+    wires = {}
+    for shape in ((1, 2), (2, 2), (2, 4)):
+        n = shape[0] * shape[1]
+        mesh = make_mesh(shape)
+        ss = shard_sampler(sampler, mesh)
+        state = init_state(model, cfg, ds.n_ent, ds.n_rel,
+                           jax.random.key(0), pad_to_multiple=n)
+        sh = shard_state(state, mesh, flat=True)
+        step = jax.jit(build_exchange_train_step(model, cfg, ss, 64 * n,
+                                                 mesh))
+        w = collective_bytes(step, sh, ss, jax.random.key(0))["wire"]
+        wires[shape] = w * n / (n - 1)     # normalize the locality factor
+    assert wires[(2, 4)] <= 1.3 * wires[(1, 2)], wires
+    assert wires[(2, 2)] <= 1.3 * wires[(1, 2)], wires

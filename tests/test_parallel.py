@@ -90,8 +90,8 @@ def test_data_sharding_trains_and_stays_synced(kg):
             per_dev[tuple(s.index[0].indices(ent.shape[0]))])
 
 
-@pytest.mark.parametrize("model_name", ["transe", "transd", "distmult",
-                                        "complex"])
+@pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
+                                        "transd", "distmult", "complex"])
 def test_sharded_eval_matches_single_device(kg, model_name):
     """Candidate axis over 'model', queries over 'data': ranks must equal
     the single-device evaluator exactly."""

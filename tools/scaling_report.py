@@ -21,6 +21,13 @@ Usage:
 Prints a markdown table (pasted into BASELINE.md) plus one JSON line.
 """
 
+# Runnable from a clean shell without installing the package (VERDICT r2
+# #5: PYTHONPATH overrides break this machine's TPU plugin, so the repo
+# root is added here instead).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import sys
@@ -73,8 +80,9 @@ def main():
             continue
         mesh = make_mesh(shape)
         state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
-                           pad_to_multiple=shape[1])
-        sh = shard_state(state, mesh)
+                           pad_to_multiple=n)
+        sh = shard_state(state, mesh, flat=(args.step == "exchange" and
+                                            n > 1))
         ss = shard_sampler(sampler, mesh)
         build = (build_exchange_train_step if args.step == "exchange"
                  else build_sharded_train_step)
@@ -83,6 +91,8 @@ def main():
         payload_by_mesh[shape] = collective_bytes(step, sh, ss,
                                                   jax.random.key(0))
 
+    from openkeonspark_tpu.parallel.comm import (BW_BRACKETS,
+                                                 OVERLAP_BRACKETS)
     table = predict_scaling(args.step_ms / 1e3, payload_by_mesh)
     print(f"| mesh (data,model) | devices | link | payload MB/dev | "
           f"wire MB/dev | comm ms | pred step ms | scaling eff |")
@@ -93,10 +103,35 @@ def main():
               f"{row['wire_bytes_per_device']/1e6:.2f} | "
               f"{row['comm_s']*1e3:.3f} | {row['predicted_step_s']*1e3:.3f} "
               f"| {row['scaling_efficiency']:.1%} |")
+
+    # sensitivity brackets (VERDICT r2 weak #9): efficiency under
+    # pessimistic/nominal/optimistic bandwidth × overlap assumptions
+    print("\nSensitivity (scaling efficiency; bandwidth ×0.5/×1/×2, "
+          "overlap 0%/90%/100%):")
+    print("| mesh | " + " | ".join(
+        f"bw×{b:g}, ov={o:.0%}" for b in BW_BRACKETS
+        for o in OVERLAP_BRACKETS) + " |")
+    print("|---|" + "---|" * (len(BW_BRACKETS) * len(OVERLAP_BRACKETS)))
+    sens = {}
+    for shape in sorted(payload_by_mesh, key=lambda s: s[0] * s[1]):
+        cells = []
+        for b in BW_BRACKETS:
+            for o in OVERLAP_BRACKETS:
+                eff = predict_scaling(args.step_ms / 1e3,
+                                      {shape: payload_by_mesh[shape]},
+                                      bw_scale=b, overlap=o
+                                      )[shape]["scaling_efficiency"]
+                cells.append(eff)
+        sens[str(shape)] = cells
+        print(f"| {shape} | " + " | ".join(f"{c:.0%}" for c in cells) + " |")
+
     json.dump({"step": args.step, "step_ms": args.step_ms,
+               "wire_dtype": cfg.exchange_wire_dtype,
+               "dedup": cfg.exchange_dedup,
                "meshes": {str(k): {**v, "payload_bytes":
                                    payload_by_mesh[k]["total"]}
-                          for k, v in table.items()}}, sys.stdout)
+                          for k, v in table.items()},
+               "sensitivity": sens}, sys.stdout)
     print()
 
 

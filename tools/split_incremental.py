@@ -12,6 +12,13 @@ Usage:
         --num_batches 4 [--seed 0]
 """
 
+# Runnable from a clean shell without installing the package (VERDICT r2
+# #5: PYTHONPATH overrides break this machine's TPU plugin, so the repo
+# root is added here instead).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import sys
