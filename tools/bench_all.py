@@ -18,14 +18,13 @@ memory profile is what the meter needs):
 Prints one JSON line per config.
 """
 
+from __future__ import annotations
+
 # Runnable from a clean shell without installing the package (VERDICT r2
 # #5: PYTHONPATH overrides break this machine's TPU plugin, so the repo
 # root is added here instead).
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-
-
-from __future__ import annotations
 
 import argparse
 import json
