@@ -307,11 +307,12 @@ def _count_projected(projT_k, projT, q, gold, koff, kcnt, kvals,
 
 
 @partial(jax.jit, static_argnames=("model_name", "block", "n_ent", "k_max",
-                                   "p", "de", "dr", "interpret"))
+                                   "p", "de", "dr", "interpret",
+                                   "eval_dtype"))
 def _rank_scan_grouped(params_pad, kvals_t, kvals_h, rel, h, t, ot, ct, oh,
                        ch, model_name: str, block: int, n_ent: int,
                        k_max: int, p: int, de: int, dr: int,
-                       interpret: bool):
+                       interpret: bool, eval_dtype: str = "float32"):
     """Relation-grouped ranking for models whose candidate projection
     depends only on the relation (TransR: e·Mᵣ; TransH: e − (wᵣ·e)wᵣ):
     every chunk shares ONE relation, so the whole entity table is
@@ -320,18 +321,25 @@ def _rank_scan_grouped(params_pad, kvals_t, kvals_h, rel, h, t, ot, ct, oh,
     Pallas kernel. Removes the O(C·E·proj) per-(query, candidate)
     redundancy of the generic path (the reference's per-triple protocol
     has the same redundancy). Both directions reuse the chunk's
-    projection."""
+    projection.
+
+    ``eval_dtype`` sets the *projection* precision — the per-chunk
+    [E, de]·[de, dr] matmul is the dominant MXU cost, and bfloat16 runs
+    it at native MXU rate (f32 needs multiple passes). Ranks stay
+    tie-exact within the path either way: gold/known scores are computed
+    from the SAME projected table the kernel sweeps (accumulation is
+    always f32)."""
     from openkeonspark_tpu.ops.pallas_rank import prepare_table
-    E = params_pad["ent_embeddings"].astype(jnp.float32)
+    ed = jnp.dtype(eval_dtype)
+    E = params_pad["ent_embeddings"].astype(ed)
 
     def project(rho):
         if model_name == "transr":
-            M = params_pad["transfer_matrix"][rho].reshape(de, dr).astype(
-                jnp.float32)
+            M = params_pad["transfer_matrix"][rho].reshape(de, dr).astype(ed)
             return jnp.dot(E, M, preferred_element_type=jnp.float32)
-        w = params_pad["normal_vectors"][rho].astype(jnp.float32)
-        return E - jnp.dot(E, w,
-                           preferred_element_type=jnp.float32)[:, None] * w
+        w = params_pad["normal_vectors"][rho].astype(ed)
+        return (E - jnp.dot(E, w, preferred_element_type=jnp.float32)[:, None]
+                * w.astype(jnp.float32)).astype(jnp.float32)
 
     def body(_, inp):
         rho, hq, tq, kot, kct, koh, kch = inp
@@ -396,7 +404,7 @@ def _grouped_link_prediction(params, cfg: Config, ds, index,
         params_pad, kvals_t, kvals_h, jnp.asarray(rel),
         g(h_all), g(t_all), g(offt), g(cntt), g(offh), g(cnth),
         model_name=cfg.model, block=block, n_ent=ds.n_ent, k_max=k_max,
-        p=cfg.p_norm, de=cfg.d_ent, dr=cfg.d_rel,
+        p=cfg.p_norm, de=cfg.d_ent, dr=cfg.d_rel, eval_dtype=cfg.eval_dtype,
         interpret=jax.default_backend() == "cpu")
 
     ranks = {k: np.empty(n, np.int64) for k in
