@@ -71,15 +71,22 @@ def cpu_baseline_tps(ds, batch_size, cache="bench_baseline_cpu.json"):
         np.add.at(rel, r, -alpha * gn)
 
     step()  # warm caches
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        step()
-    dt = time.perf_counter() - t0
-    tps = n_steps * batch_size / dt
+    # pinned protocol (VERDICT r2 weak #4: the multiplier drifted with
+    # VM noise): median of 5 runs × 20 steps, fixed seed, stored once —
+    # the cache file is committed so the baseline never re-measures
+    n_steps, n_runs = 20, 5
+    rates = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            step()
+        rates.append(n_steps * batch_size / (time.perf_counter() - t0))
+    tps = float(np.median(rates))
     with open(cache, "w") as f:
         json.dump({"triples_per_sec": tps, "batch_size": batch_size,
-                   "steps": n_steps, "seconds": dt}, f)
+                   "steps": n_steps, "runs": n_runs,
+                   "protocol": "median of 5 runs x 20 steps, seed 0",
+                   "rates": [round(r, 1) for r in rates]}, f)
     return tps
 
 

@@ -75,6 +75,13 @@ class Config:
     dtype: str = "float32"           # table dtype
     eval_dtype: str = "float32"      # scoring dtype at eval ("bfloat16" for speed)
     use_pallas_eval: bool = True     # blocked Pallas rank kernel when available
+    grouped_transr: bool = True      # TransR training via the relation-
+    #   grouped projection kernel (ops/pallas_grouped.py): sort the batch
+    #   by relation, stream each projection matrix once, dense MXU dM —
+    #   replaces the per-row [dₑ×dᵣ] gather/einsum/wide-scatter path
+    #   (2.2× measured: 15.75→7.19 ms/step at config #4, BASELINE.md).
+    #   TPU-only; single-device step with entity negatives (falls back
+    #   otherwise)
 
     # --- parallelism ----------------------------------------------------
     mesh_shape: Tuple[int, int] = (1, 1)   # (data, model) mesh axes

@@ -24,15 +24,27 @@ when they collide with a real row's update.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from openkeonspark_tpu.config import Config
 
-# updates: table name -> list of (ids [N], row_grads [N, dim])
-Updates = Dict[str, List[Tuple[jax.Array, jax.Array]]]
+
+class DenseUpdate(NamedTuple):
+    """A full-table gradient (untouched rows exactly zero) + the touched
+    mask, produced by paths that aggregate on the MXU instead of
+    scattering (the grouped TransR step's ``transfer_matrix`` gradient).
+    SGD applies it as one streaming add; lazy Adam updates moments only at
+    ``touched`` rows — identical semantics to the sparse pairs form."""
+    grad: jax.Array      # [rows, dim] f32
+    touched: jax.Array   # [rows] bool
+
+
+# updates: table name -> list of (ids [N], row_grads [N, dim]), or a
+# DenseUpdate for tables whose gradient is produced dense
+Updates = Dict[str, Union[List[Tuple[jax.Array, jax.Array]], DenseUpdate]]
 
 # XLA's TPU scatter costs ~20 ns per scattered row regardless of table
 # size (measured on v5e); for small tables a one-hot matmul on the MXU is
@@ -113,6 +125,10 @@ class SparseSGD:
         new_params = dict(params)
         for table, pairs in updates.items():
             t = new_params[table]
+            if isinstance(pairs, DenseUpdate):
+                # streaming dense add: untouched rows carry exact zeros
+                new_params[table] = t - (self.lr * pairs.grad).astype(t.dtype)
+                continue
             # one fused scatter-add per table (not one per id-stream)
             if len(pairs) == 1:
                 ids, g = pairs[0]
@@ -150,6 +166,25 @@ class SparseAdam:
         t = (step + 1).astype(jnp.float32)
         lr_t = self.lr * jnp.sqrt(1.0 - self.b2 ** t) / (1.0 - self.b1 ** t)
         for table, pairs in updates.items():
+            if isinstance(pairs, DenseUpdate):
+                # dense-G lazy update, gradient already aggregated
+                touched = pairs.touched[:, None]
+                G = pairs.grad
+                m_new = jnp.where(touched,
+                                  self.b1 * m_state[table]
+                                  + (1.0 - self.b1) * G, m_state[table])
+                v_new = jnp.where(touched,
+                                  self.b2 * v_state[table]
+                                  + (1.0 - self.b2) * (G * G),
+                                  v_state[table])
+                delta = jnp.where(
+                    touched, -lr_t * m_new / (jnp.sqrt(v_new) + self.eps),
+                    0.0)
+                m_state[table] = m_new
+                v_state[table] = v_new
+                new_params[table] = (params[table]
+                                     + delta.astype(params[table].dtype))
+                continue
             if len(pairs) == 1:
                 ids, g = pairs[0]
             else:

@@ -1,0 +1,72 @@
+"""Link-prediction evaluation throughput per model (test-triples/s).
+
+Measures the full evaluator (both directions, raw+filtered) at the
+BASELINE.md eval shape — d=200, FB15K-237-sized entity set, 20k test
+triples — including the relation-grouped MXU path for TransR/TransH and
+the ``eval_dtype`` knob (VERDICT r2 #9: the r1 numbers predate the
+grouped TransH path and the bf16 projection was silently ignored).
+
+Usage: python tools/eval_bench.py [--models transe,transh,transr,transd]
+                                  [--dtypes float32,bfloat16]
+Prints one JSON line per (model, dtype).
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="transe,transh,transr,transd")
+    ap.add_argument("--dtypes", default="float32,bfloat16")
+    ap.add_argument("--n_test", type=int, default=20000)
+    args = ap.parse_args()
+
+    import jax
+
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.synth import random_kg
+    from openkeonspark_tpu.eval.link_prediction import link_prediction
+    from openkeonspark_tpu.models import get_model
+    from openkeonspark_tpu.train.step import init_state
+
+    ds = random_kg(n_ent=14541, n_rel=237, n_triples=272115,
+                   n_valid=1000, n_test=args.n_test, seed=7)
+    idx = build_kg_index(ds, for_eval=True)
+
+    for name in args.models.split(","):
+        cfg0 = Config(model=name, hidden_size=200)
+        if name == "transr":
+            cfg0 = cfg0.replace(ent_size=200, rel_size=100)
+        model = get_model(name)
+        state = init_state(model, cfg0, ds.n_ent, ds.n_rel,
+                           jax.random.key(3))
+        for dt in args.dtypes.split(","):
+            cfg = cfg0.replace(eval_dtype=dt)
+            # warm (compile) on a small slice, then time the full set
+            link_prediction(state.params, cfg, ds, idx,
+                            triples=ds.test[:512])
+            t0 = time.perf_counter()
+            res = link_prediction(state.params, cfg, ds, idx,
+                                  triples=ds.test)
+            dt_s = time.perf_counter() - t0
+            print(json.dumps({
+                "model": name, "eval_dtype": dt,
+                "n_test": int(len(ds.test)), "n_ent": ds.n_ent,
+                "triples_per_sec": round(len(ds.test) / dt_s, 1),
+                "seconds": round(dt_s, 2),
+                # random embeddings → MR should hover near n_ent/2; a
+                # wildly smaller value would flag a counting bug
+                "filt_mr": round(res.filt_avg.mr, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

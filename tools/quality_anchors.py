@@ -1,0 +1,78 @@
+"""Per-family quality anchors: train each model on its family-matched
+planted KG at TPU scale and record filtered Hits@10 / MRR (VERDICT r2 #4).
+
+The real benchmark splits are unfetchable in this sandbox, so the planted
+generators (``data/synth.planted_kg``) are the quality oracle: each KG is
+generated FROM a hidden model of the family, so the family's trainer must
+recover high filtered Hits@10. The numbers this prints are the anchors
+BASELINE.md pins (regressions in sampling/loss/eval all surface here).
+
+Usage: python tools/quality_anchors.py [--models transe,transh,transr,transd]
+Prints one JSON line per family.
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+SPECS = {
+    # (kg kwargs, cfg kwargs) — dims/epochs chosen so each family trains
+    # to recovery in ~1-2 min of device time at FB15K-237-ish scale
+    "transe": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
+               dict(hidden_size=100, alpha=0.05, margin=2.0,
+                    train_times=120, negative_ent=4)),
+    "transh": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
+               dict(hidden_size=100, alpha=0.02, margin=2.0,
+                    train_times=150, negative_ent=4)),
+    "transr": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
+               dict(ent_size=100, rel_size=50, alpha=0.02, margin=2.0,
+                    train_times=150, negative_ent=4)),
+    "transd": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
+               dict(hidden_size=100, alpha=0.02, margin=2.0,
+                    train_times=150, negative_ent=4)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="transe,transh,transr,transd")
+    args = ap.parse_args()
+
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.synth import planted_kg
+    from openkeonspark_tpu.eval.link_prediction import link_prediction
+    from openkeonspark_tpu.train.loop import train
+
+    for name in args.models.split(","):
+        kg_kw, cfg_kw = SPECS[name]
+        ds = planted_kg(n_valid=2000, n_test=5000, noise=0.0, seed=1,
+                        model=name, head_frac=0.5, **kg_kw)
+        cfg = Config(model=name, nbatches=100, **cfg_kw)
+        t0 = time.time()
+        res = train(cfg, ds, echo=lambda *a, **k: None)
+        train_s = time.time() - t0
+        idx = build_kg_index(ds, for_eval=True)
+        t0 = time.time()
+        lp = link_prediction(res.state.params, cfg, ds, idx,
+                             triples=ds.test)
+        eval_s = time.time() - t0
+        print(json.dumps({
+            "model": name, "n_ent": kg_kw["n_ent"],
+            "n_train": int(ds.n_train),
+            "final_loss": round(res.final_loss, 3),
+            "train_s": round(train_s, 1), "eval_s": round(eval_s, 1),
+            "filt_hits10": round(lp.filt_avg.hits10, 4),
+            "filt_mrr": round(lp.filt_avg.mrr, 4),
+            "filt_hits10_tail": round(lp.filt_tail.hits10, 4),
+            "filt_hits10_head": round(lp.filt_head.hits10, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,11 +113,15 @@ def main():
         return jnp.sum(model.score(shaped, cfg)).astype(jnp.float32)
 
     def stage_grad(params, sampler_, key):
+        from openkeonspark_tpu.train.optim import DenseUpdate
         b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
                             cfg.bern)
         loss, updates = loss_and_row_grads(model, cfg, params, b)
         acc = loss
         for pairs in updates.values():
+            if isinstance(pairs, DenseUpdate):
+                acc += jnp.sum(pairs.grad).astype(jnp.float32)
+                continue
             for ids, g in pairs:
                 acc += jnp.sum(g).astype(jnp.float32)
         return acc
@@ -163,7 +167,8 @@ def main():
         prev = results[name]
     attributed["update"] = results["full"] - prev
 
-    print(json.dumps({
+    from openkeonspark_tpu.train.step import use_grouped_transr
+    out = {
         "config": args.config, "model": spec["model"], "batch": B,
         "steps_per_call": S,
         "ms_per_step_cumulative": {k: round(v * 1e3, 3)
@@ -171,7 +176,12 @@ def main():
         "ms_per_step_attributed": {k: round(v * 1e3, 3)
                                    for k, v in attributed.items()},
         "triples_per_sec": round(B / results["full"], 1),
-    }), flush=True)
+    }
+    if use_grouped_transr(cfg):
+        out["note"] = ("full step uses the relation-grouped path; the "
+                       "stage prefixes decompose the GENERIC path, so the "
+                       "'update'/'grad' attribution does not apply to it")
+    print(json.dumps(out), flush=True)
 
     # isolated hot ops (TransR: the wide transfer_matrix traffic)
     if spec["model"] == "transr":
