@@ -110,17 +110,20 @@ def batched_upper_bound(arr: Union[jax.Array, Packed1D], off: jax.Array,
     return lo
 
 
-def _randint(key: jax.Array, shape, bound: jax.Array) -> jax.Array:
-    """Per-lane uniform int in [0, bound) via 32 random bits mod bound —
-    the reference's ``rand_max`` reduction (``Random.h:~20–40``)."""
-    bits = jax.random.bits(key, shape, dtype=jnp.uint32)
+def _mod_range(bits: jax.Array, bound: jax.Array) -> jax.Array:
+    """Uniform int in [0, bound) from 32 random bits mod bound — the
+    reference's ``rand_max`` reduction (``Random.h:~20–40``)."""
     return (bits % jnp.maximum(bound, 1).astype(jnp.uint32)).astype(jnp.int32)
 
 
-def _complement_sample(key: jax.Array, shape, arr: Union[jax.Array, Packed1D],
+def _complement_sample(bits: jax.Array, arr: Union[jax.Array, Packed1D],
                        off: jax.Array, cnt: jax.Array, n_vals: int,
                        iters: int, avoid: jax.Array) -> jax.Array:
-    """Uniform draw from ``[0, n_vals) \\ group`` via the offset trick.
+    """Uniform draw from ``[0, n_vals) \\ group`` via the offset trick;
+    ``bits`` are pre-drawn u32 random bits of the output shape (one
+    batched PRNG call per step covers every draw — at small batches the
+    per-HLO-op cost of separate threefry calls was 82% of the whole
+    sampling stage, BASELINE.md config #1).
 
     Degenerate case the reference never hits at KG scale but we must
     (``Corrupt.h`` would spin forever): when the group already contains
@@ -131,7 +134,7 @@ def _complement_sample(key: jax.Array, shape, arr: Union[jax.Array, Packed1D],
     full = cnt >= jnp.int32(n_vals)
     space = jnp.where(full, jnp.int32(max(n_vals - 1, 1)),
                       jnp.maximum(jnp.int32(n_vals) - cnt, 1))
-    x = _randint(key, shape, space)
+    x = _mod_range(bits, space)
     k = batched_upper_bound(arr, off, cnt, x, iters)
     fallback = x + (x >= avoid).astype(x.dtype)
     return jnp.where(jnp.broadcast_to(full, x.shape), fallback, x + k)
@@ -200,34 +203,53 @@ class DeviceSampler:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def bits_cols(negative_ent: int, negative_rel: int) -> int:
+        """u32 columns one step's draws consume (see ``sample``)."""
+        return 1 + 2 * negative_ent + negative_rel
+
     def sample(self, key: jax.Array, batch_size: int, negative_ent: int,
                negative_rel: int, bern: bool,
-               partition: Optional[Tuple[jax.Array, jax.Array]] = None
-               ) -> "SampledBatch":
+               partition: Optional[Tuple[jax.Array, jax.Array]] = None,
+               bits: Optional[jax.Array] = None) -> "SampledBatch":
         """Draw a batch: ``batch_size`` uniform positives + per-positive
         corrupted negatives (``Base.cpp::getBatch`` semantics).
 
         ``partition=(start, size)`` restricts positive draws to a contiguous
         triple slice — edge partitioning for data-parallel shards."""
-        k_pos, k_flip, k_ent, k_rel = jax.random.split(key, 4)
+        # ONE batched PRNG call serves every draw of the step: positive
+        # index (col 0), bern flip (cols 1..negE), entity corruption
+        # (next negE cols), relation corruption (last negR cols). The
+        # previous split+4-draws design cost ~0.083 ms/step in threefry
+        # dispatch alone at B=400 — 66% of the whole step (config #1).
+        # Scan-fused callers amortize further by pre-drawing the whole
+        # step group's bits [S, B, cols] and passing per-step slices.
+        n_e, n_r = negative_ent, negative_rel
+        if bits is None:
+            bits = jax.random.bits(key, (batch_size, 1 + 2 * n_e + n_r),
+                                   dtype=jnp.uint32)
 
         if partition is None:
-            idx = _randint(k_pos, (batch_size,), jnp.int32(self.n_train))
+            idx = _mod_range(bits[:, 0], jnp.int32(self.n_train))
         else:
             start, size = partition
-            idx = start + _randint(k_pos, (batch_size,), size)
+            idx = start + _mod_range(bits[:, 0], size)
 
         (h, t, r, hr_off, hr_cnt, tr_off, tr_cnt,
          ht_off, ht_cnt) = self.trip.take(idx)
 
         neg_h = neg_t = None
-        if negative_ent > 0:
-            shape = (batch_size, negative_ent)
+        if n_e > 0:
             if bern:
                 p_head = self.p_corrupt_head.take(r)[:, None]
             else:
                 p_head = jnp.float32(0.5)
-            corrupt_head = jax.random.uniform(k_flip, shape) < p_head
+            # flip bits → uniform [0,1) with 2^-24 granularity (the
+            # reference's rand()/RAND_MAX has coarser, 2^-31-biased
+            # granularity, so this is within parity)
+            u = ((bits[:, 1:1 + n_e] >> 8).astype(jnp.float32)
+                 * jnp.float32(1.0 / (1 << 24)))
+            corrupt_head = u < p_head
 
             # one fused complement search over the concatenated adj array:
             # head-corruption uses the (t,r)→heads window, tail-corruption
@@ -235,19 +257,19 @@ class DeviceSampler:
             off = jnp.where(corrupt_head, tr_off[:, None], hr_off[:, None])
             cnt = jnp.where(corrupt_head, tr_cnt[:, None], hr_cnt[:, None])
             avoid = jnp.where(corrupt_head, h[:, None], t[:, None])
-            corrupted = _complement_sample(k_ent, shape, self.ent_adj, off,
-                                           cnt, self.n_ent, self.ent_iters,
+            corrupted = _complement_sample(bits[:, 1 + n_e:1 + 2 * n_e],
+                                           self.ent_adj, off, cnt,
+                                           self.n_ent, self.ent_iters,
                                            avoid)
             neg_h = jnp.where(corrupt_head, corrupted, h[:, None])
             neg_t = jnp.where(corrupt_head, t[:, None], corrupted)
 
         neg_rel = None
-        if negative_rel > 0:
-            shape = (batch_size, negative_rel)
-            neg_rel = _complement_sample(k_rel, shape, self.rel_adj,
-                                         ht_off[:, None], ht_cnt[:, None],
-                                         self.n_rel, self.rel_iters,
-                                         r[:, None])
+        if n_r > 0:
+            neg_rel = _complement_sample(bits[:, 1 + 2 * n_e:],
+                                         self.rel_adj, ht_off[:, None],
+                                         ht_cnt[:, None], self.n_rel,
+                                         self.rel_iters, r[:, None])
 
         return SampledBatch(h=h, t=t, r=r, neg_h=neg_h, neg_t=neg_t,
                             neg_rel=neg_rel)

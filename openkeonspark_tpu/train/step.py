@@ -305,15 +305,22 @@ def build_train_step(model: KGEModel, cfg: Config, sampler: DeviceSampler,
     opt = make_optimizer(cfg)
     del sampler  # static metadata travels inside the runtime argument
 
-    def step_fn(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
+    def step_fn(state: TrainState, sampler_: DeviceSampler, key: jax.Array,
+                bits: Optional[jax.Array] = None):
         batch = sampler_.sample(key, batch_size, cfg.negative_ent,
                                 cfg.negative_rel, cfg.bern,
-                                partition=partition)
+                                partition=partition, bits=bits)
         loss, updates = loss_and_row_grads(model, cfg, state.params, batch)
         params, opt_state = opt.apply(state.params, state.opt_state, updates,
                                       state.step)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    # scan-fused callers pre-draw the whole group's random bits in one
+    # batched PRNG call (per-call threefry dispatch was 66% of the step
+    # at B=400, BASELINE.md config #1)
+    step_fn.bits_shape = (batch_size,
+                          DeviceSampler.bits_cols(cfg.negative_ent,
+                                                  cfg.negative_rel))
     return step_fn
 
 
@@ -355,13 +362,24 @@ def build_host_scan_steps(model: KGEModel, cfg: Config) -> Callable:
 def build_scan_steps(step_fn: Callable, steps: int) -> Callable:
     """Fuse ``steps`` train steps into one jitted host call via lax.scan.
     Returns (state, sampler, key) → (state, mean_loss); the sampler rides
-    along as a traced argument (see ``build_train_step``)."""
+    along as a traced argument (see ``build_train_step``).
+
+    When ``step_fn`` advertises ``bits_shape``, the whole group's random
+    bits are drawn in ONE batched PRNG call and sliced per step by the
+    scan — per-step threefry dispatch was the config-#1 throughput floor."""
+    bits_shape = getattr(step_fn, "bits_shape", None)
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, sampler: DeviceSampler, key: jax.Array):
-        keys = jax.random.split(key, steps)
-        state, losses = jax.lax.scan(lambda s, k: step_fn(s, sampler, k),
-                                     state, keys)
+        if bits_shape is not None:
+            bits = jax.random.bits(key, (steps,) + bits_shape,
+                                   dtype=jnp.uint32)
+            state, losses = jax.lax.scan(
+                lambda s, b: step_fn(s, sampler, key, bits=b), state, bits)
+        else:
+            keys = jax.random.split(key, steps)
+            state, losses = jax.lax.scan(lambda s, k: step_fn(s, sampler, k),
+                                         state, keys)
         return state, jnp.mean(losses)
 
     return run

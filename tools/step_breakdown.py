@@ -147,6 +147,8 @@ def main():
     for name, fn in stages:
         t, _ = _timed(scan_over_keys(fn), state.params, sampler, key)
         results[name] = t / S
+        print(json.dumps({"stage": name, "ms": round(t / S * 1e3, 3)}),
+              flush=True)
 
     # full donates its state: chain the returned state through the calls
     # (re-passing a donated buffer is a use-after-free on the device)
