@@ -337,7 +337,8 @@ def _rank_scan_grouped(params_pad, kvals_t, kvals_h, rel, h, t, ot, ct, oh,
         if model_name == "transr":
             M = params_pad["transfer_matrix"][rho].reshape(de, dr).astype(ed)
             return jnp.dot(E, M, preferred_element_type=jnp.float32)
-        w = params_pad["normal_vectors"][rho].astype(ed)
+        from openkeonspark_tpu.models.transh import unit
+        w = unit(params_pad["normal_vectors"][rho]).astype(ed)
         return (E - jnp.dot(E, w, preferred_element_type=jnp.float32)[:, None]
                 * w.astype(jnp.float32)).astype(jnp.float32)
 

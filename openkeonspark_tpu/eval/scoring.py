@@ -67,7 +67,8 @@ def build_queries(model_name: str, params: Dict[str, jax.Array],
             return {"q": take(E, h) + take(R, r)}
         return {"q": take(R, r) - take(E, t)}
     if model_name == "transh":
-        w = take(params["normal_vectors"].astype(dt), r)
+        from openkeonspark_tpu.models.transh import unit
+        w = unit(take(params["normal_vectors"].astype(dt), r))
         if replace == "tail":
             eh = take(E, h)
             q = eh - jnp.sum(eh * w, -1, keepdims=True) * w + take(R, r)

@@ -2,9 +2,15 @@
 
 Functional re-design of the reference's ``TransH.py`` (reconstructed
 ``TransH.py:~1–110`` per SURVEY.md §2.1): extra per-relation normal-vector
-table; projection ``e⊥ = e − (w_r·e) w_r`` applied to head and tail (the TF
-``_transfer`` uses the raw, un-renormalized w_r — matched here), then the
-TransE-style p-norm residual."""
+table; projection ``e⊥ = e − (ŵ_r·e) ŵ_r`` with ``ŵ_r = w_r/‖w_r‖`` applied
+to head and tail, then the TransE-style p-norm residual.
+
+The unit-normalization implements the TransH paper's ``‖w_r‖₂ = 1``
+constraint (a hyperplane projection is only a projection for a unit
+normal; SURVEY.md §2.1 states the hyperplane form). It is also what keeps
+long training runs stable: with raw w_r the projection's gain is
+``1+‖w‖²``, and w-growth ↔ entity-grad amplification form a feedback loop
+that sent 20k-step runs non-finite (quality-anchor runs, round 3)."""
 
 from __future__ import annotations
 
@@ -16,6 +22,12 @@ import jax.numpy as jnp
 from openkeonspark_tpu.config import Config
 from openkeonspark_tpu.models.base import (KGEModel, Slots, TableSpec, pnorm,
                                            register)
+
+
+def unit(w: jax.Array) -> jax.Array:
+    """ŵ = w/‖w‖₂ — the paper's hard unit-norm constraint, applied at use
+    so the stored table stays unconstrained (checkpoint-compatible)."""
+    return w * jax.lax.rsqrt(jnp.sum(w * w, axis=-1, keepdims=True) + 1e-12)
 
 
 def _project(e: jax.Array, w: jax.Array) -> jax.Array:
@@ -46,7 +58,7 @@ class TransH(KGEModel):
 
     @staticmethod
     def score(slots: Slots, cfg: Config) -> jax.Array:
-        w = slots["w_r"]
+        w = unit(slots["w_r"])
         h = _project(slots["h_e"], w)
         t = _project(slots["t_e"], w)
         return pnorm(h + slots["r_e"] - t, cfg.p_norm)

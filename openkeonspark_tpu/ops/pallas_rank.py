@@ -409,7 +409,8 @@ def transh_queries(params, h: jax.Array, t: jax.Array, r: jax.Array,
     is shared by gold and candidates, so its precision is uncritical."""
     E = params["ent_embeddings"].astype(jnp.float32)
     R = params["rel_embeddings"].astype(jnp.float32)
-    w = jnp.take(params["normal_vectors"].astype(jnp.float32), r, 0)
+    from openkeonspark_tpu.models.transh import unit
+    w = unit(jnp.take(params["normal_vectors"].astype(jnp.float32), r, 0))
     if replace == "tail":
         eh = jnp.take(E, h, 0)
         q = eh - jnp.sum(eh * w, -1, keepdims=True) * w + jnp.take(R, r, 0)

@@ -31,6 +31,7 @@ def dense_score(model_name, cfg, params, h, t, r):
         return norm(eh + er - et)
     if model_name == "transh":
         w = params["normal_vectors"][r]
+        w = w / jnp.sqrt(jnp.sum(w * w, -1, keepdims=True) + 1e-12)
         ph = eh - jnp.sum(eh * w, -1, keepdims=True) * w
         pt = et - jnp.sum(et * w, -1, keepdims=True) * w
         return norm(ph + er - pt)
