@@ -50,9 +50,12 @@ def main():
                            jax.random.key(3))
         for dt in args.dtypes.split(","):
             cfg = cfg0.replace(eval_dtype=dt)
-            # warm (compile) on a small slice, then time the full set
-            link_prediction(state.params, cfg, ds, idx,
-                            triples=ds.test[:512])
+            # warm with the SAME shape as the timed call — a shorter
+            # warm slice changes the scan length, so the timed region
+            # would include recompilation (first r3 run: TransE f32
+            # "3.7k t/s" was compile time; its bf16 twin hit the cache
+            # because eval_dtype doesn't change the TransE program)
+            link_prediction(state.params, cfg, ds, idx, triples=ds.test)
             t0 = time.perf_counter()
             res = link_prediction(state.params, cfg, ds, idx,
                                   triples=ds.test)

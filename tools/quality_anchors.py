@@ -23,18 +23,22 @@ import time
 SPECS = {
     # (kg kwargs, cfg kwargs) — dims/epochs chosen so each family trains
     # to recovery in ~1-2 min of device time at FB15K-237-ish scale
+    # alphas mirror the in-suite recovery tests (tests/test_synth_planted.py)
+    # scaled to this KG size — the first r3 run diverged TransH (non-finite
+    # tables at alpha=0.02) and under-trained TransE (Hits@10 0.21 at
+    # alpha=0.05/120ep vs 0.38+ at 0.1/150ep)
     "transe": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
-               dict(hidden_size=100, alpha=0.05, margin=2.0,
-                    train_times=120, negative_ent=4)),
+               dict(hidden_size=100, alpha=0.1, margin=2.0,
+                    train_times=150, negative_ent=4)),
     "transh": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
-               dict(hidden_size=100, alpha=0.02, margin=2.0,
-                    train_times=150, negative_ent=4)),
+               dict(hidden_size=100, alpha=0.005, margin=2.0,
+                    train_times=200, negative_ent=4)),
     "transr": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
-               dict(ent_size=100, rel_size=50, alpha=0.02, margin=2.0,
-                    train_times=150, negative_ent=4)),
+               dict(ent_size=100, rel_size=50, alpha=0.01, margin=2.0,
+                    train_times=200, negative_ent=4)),
     "transd": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
-               dict(hidden_size=100, alpha=0.02, margin=2.0,
-                    train_times=150, negative_ent=4)),
+               dict(hidden_size=100, alpha=0.01, margin=2.0,
+                    train_times=200, negative_ent=4)),
 }
 
 
