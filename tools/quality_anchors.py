@@ -25,8 +25,9 @@ SPECS = {
     # to recovery in ~1-2 min of device time at FB15K-237-ish scale
     # alphas mirror the in-suite recovery tests (tests/test_synth_planted.py)
     # scaled to this KG size — the first r3 run diverged TransH (non-finite
-    # tables at alpha=0.02) and under-trained TransE (Hits@10 0.21 at
-    # alpha=0.05/120ep vs 0.38+ at 0.1/150ep)
+    # tables at alpha=0.02, pre-unit-norm-constraint). Note head_frac=0.5
+    # plants BOTH directions, so the averaged Hits@10 here (~0.2) is not
+    # comparable to r1's tail-direction-only 0.475 headline.
     "transe": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
                dict(hidden_size=100, alpha=0.1, margin=2.0,
                     train_times=150, negative_ent=4)),
