@@ -440,7 +440,13 @@ def _use_pallas(cfg: Config) -> bool:
     # d=200). transh's kernel needs a second chunked pass for the pairwise
     # dot and measured BELOW the XLA path (17k vs 20k triples/s) — XLA
     # already maps that dot to the MXU — so transh stays generic.
-    return _pallas_available(cfg) and cfg.model in ("transe", "transd")
+    # the rank kernel stack-allocates per-chunk VMEM scratch; chunks past
+    # 1024 exceed the 16 MB scoped-vmem limit (measured: C=2048 at d=200
+    # over-allocates 13 MB and Mosaic refuses to compile) — and chunk 512
+    # already outruns 1024 (48.2k vs 29.9k triples/s), so big chunks fall
+    # back to the XLA path rather than crash
+    return (_pallas_available(cfg) and cfg.model in ("transe", "transd")
+            and cfg.eval_chunk_size <= 1024)
 
 
 def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
