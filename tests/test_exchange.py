@@ -41,11 +41,15 @@ def kg_big():
     return ds, idx
 
 
+LR = 0.05      # setup()'s alpha — single source for tests that bound drift
+STEPS = 3      # run_pair()'s default step count, ditto
+
+
 def setup(ds, idx, model_name="transe", opt="sgd", pad=1, **cfg_kw):
     # parity runs pin the f32 wire format unless the test overrides it —
     # bf16 payloads are a documented quality/throughput trade, not parity
     cfg_kw.setdefault("exchange_wire_dtype", "float32")
-    cfg = Config(model=model_name, hidden_size=16, alpha=0.05,
+    cfg = Config(model=model_name, hidden_size=16, alpha=LR,
                  negative_ent=2, negative_rel=1, opt_method=opt, **cfg_kw)
     model = get_model(cfg.model)
     sampler = DeviceSampler.build(ds, idx)
@@ -55,7 +59,7 @@ def setup(ds, idx, model_name="transe", opt="sgd", pad=1, **cfg_kw):
 
 
 def run_pair(ds, idx, mesh_shape, batch, model_name="transe", opt="sgd",
-             steps=3, **cfg_kw):
+             steps=STEPS, **cfg_kw):
     """Run legacy psum step and exchange step with identical keys; return
     final (loss, params, first-moments) of each. Draws are identical by
     construction (same fold_in(key, data_idx) per data row). The two steps
@@ -192,7 +196,7 @@ def test_exchange_bf16_wire_close_to_f32(kg_big):
         run_pair(ds, idx, (2, 2), batch=64,
                  exchange_wire_dtype=w)[1] for w in ("float32", "bfloat16"))
     assert np.isfinite(lb16)
-    lr, steps = 0.05, 3  # setup()'s alpha, run_pair's default steps
+    lr, steps = LR, STEPS
     for k in pf:
         diff = np.abs(pf[k] - pb16[k])
         rows, dim = pf[k].shape[0], pf[k].size // pf[k].shape[0]
@@ -218,8 +222,13 @@ def test_exchange_bf16_wire_close_to_f32(kg_big):
 def test_exchange_adam_soak_50_steps(kg_big):
     """r2 advisor + VERDICT #6: multi-step Adam drift between exchange and
     psum paths must stay at convergence-level agreement — 50 steps on a
-    (2,2) mesh, loss curves within 1% relative throughout the tail and
-    final parameter RMS error ≪ parameter scale."""
+    (2,2) mesh. Invariants asserted: windowed (10-step) mean loss within
+    4% relative over the tail, final 15-step mean within 2.5%, and final
+    eval-metric parity (filtered MR within 10%, Hits@10 within 0.05
+    absolute, MRR within 0.05 absolute). Param-space RMS is NOT asserted —
+    reassociation toggles compound under Adam's per-cell moments, so two
+    statistically-identical trajectories decorrelate in parameter space
+    while converging equally well (see comments below)."""
     ds, idx = kg_big
     n = 4
     cfg, model, sampler, state = setup(ds, idx, opt="adam", pad=n)
@@ -267,7 +276,10 @@ def test_exchange_adam_soak_50_steps(kg_big):
                                 cfg, ds, idx_eval, triples=ds.test)
                 for p in (pa, pb))
     assert abs(lpb.filt_avg.mr - lpa.filt_avg.mr) < 0.10 * lpa.filt_avg.mr
-    assert abs(lpb.filt_avg.hits10 - lpa.filt_avg.hits10) <= 0.1
+    # 0.05 abs on 60 ranks ≈ 3 rank flips (r3 advisor: 0.1 masked a
+    # moderate regression); MRR adds a flip-position-weighted guard
+    assert abs(lpb.filt_avg.hits10 - lpa.filt_avg.hits10) <= 0.05
+    assert abs(lpb.filt_avg.mrr - lpa.filt_avg.mrr) <= 0.05
 
 
 @pytest.mark.parametrize("mesh_shape,min_ratio", [((2, 4), 3.0),
