@@ -36,7 +36,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--margin", type=float, default=1.0)
     # optimization
     p.add_argument("--alpha", type=float, default=0.001, help="learning rate")
-    p.add_argument("--opt_method", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--opt_method", default="sgd",
+                   choices=["sgd", "adam", "adagrad", "adadelta"])
     p.add_argument("--train_times", type=int, default=100, help="epochs")
     p.add_argument("--nbatches", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=None,

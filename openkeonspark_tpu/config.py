@@ -27,10 +27,16 @@ class Config:
 
     # --- optimization --------------------------------------------------
     alpha: float = 0.001             # learning rate (reference name)
-    opt_method: str = "sgd"          # sgd | adam (lazy/sparse Adam)
+    opt_method: str = "sgd"          # sgd | adam | adagrad | adadelta
+    #   (stateful ones are lazy/sparse: state updated at touched rows only,
+    #   matching the reference's TF IndexedSlices applies)
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_eps: float = 1e-8
+    adagrad_init_acc: float = 1e-20  # reference Config.py passes
+    #   initial_accumulator_value=1e-20 to tf.train.AdagradOptimizer
+    adadelta_rho: float = 0.95       # TF1 AdadeltaOptimizer defaults
+    adadelta_eps: float = 1e-8
     train_times: int = 100           # epochs (reference name)
     nbatches: int = 100              # batches per epoch; batch_size = T // nbatches
     batch_size: Optional[int] = None  # set explicitly to override nbatches
@@ -115,7 +121,8 @@ class Config:
         if self.model not in ("transe", "transh", "transr", "transd",
                               "distmult", "complex"):
             raise ValueError(f"unknown model {self.model!r}")
-        if self.opt_method.lower() not in ("sgd", "adam"):
+        if self.opt_method.lower() not in ("sgd", "adam", "adagrad",
+                                           "adadelta"):
             raise ValueError(f"unknown opt_method {self.opt_method!r}")
         if self.p_norm not in (1, 2):
             raise ValueError("p_norm must be 1 or 2")

@@ -54,10 +54,8 @@ def _state_specs(model: KGEModel, cfg: Config,
     scalars replicated."""
     spec = P((DATA, MODEL), None) if flat else P(MODEL, None)
     tables = {name: spec for name in model.tables(cfg, 1, 1)}
-    if cfg.opt_method.lower() == "adam":
-        opt = {"m": dict(tables), "v": dict(tables)}
-    else:
-        opt = {}
+    opt = {s: dict(tables)
+           for s in make_optimizer(cfg).state_slots}
     return TrainState(params=tables, opt_state=opt, step=P())
 
 

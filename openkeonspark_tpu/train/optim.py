@@ -6,12 +6,13 @@ parallelism"). Here:
 
 - **SGD** (reference default, exact semantics): scatter-add
   ``table[ids] -= α · g`` — duplicate ids sum, matching dense-math SGD.
-- **lazy Adam**: moment tables m/v updated *only at touched rows*;
-  in-batch duplicate ids are aggregated (summed) first so each touched row
-  gets exactly one read-modify-write; bias correction uses the global step.
-  This is sparse/"lazy" Adam — dense Adam would also decay the moments of
-  untouched rows; the delta vs the reference's TF sparse Adam (which has
-  the same laziness) is documented in DESIGN.md.
+- **lazy Adam / Adagrad / Adadelta** (the reference ``set_opt_method``
+  family): state tables updated *only at touched rows*; in-batch duplicate
+  ids are aggregated (summed) first so each touched row gets exactly one
+  read-modify-write; Adam's bias correction uses the global step. These
+  are sparse/"lazy" variants — the dense forms would also decay/accumulate
+  state of untouched rows; the delta vs the reference's TF sparse applies
+  (which have the same laziness) is documented in DESIGN.md.
 
 Row-id convention: ids in ``[logical_rows, physical_rows)`` address padding
 rows (see ``models/base.py``) and are harmless scatter sinks. Ids **equal to
@@ -115,6 +116,8 @@ def aggregate_duplicates(ids: jax.Array, grads: jax.Array,
 class SparseSGD:
     """α-scaled scatter-add; no state (reference ``opt_method='SGD'``)."""
 
+    state_slots: Tuple[str, ...] = ()
+
     def __init__(self, cfg: Config):
         self.lr = cfg.alpha
 
@@ -139,8 +142,112 @@ class SparseSGD:
         return new_params, state
 
 
-class SparseAdam:
-    """Lazy Adam over touched rows (reference ``opt_method='Adam'``)."""
+class _LazyRowOptimizer:
+    """Shared machinery for stateful optimizers with *lazy* (touched-rows-
+    only) semantics — the reference's TF sparse ``IndexedSlices`` apply
+    (``Config.py`` opt-method dispatch, reconstructed: Adagrad with
+    ``initial_accumulator_value=1e-20``, Adadelta, Adam). Duplicate batch
+    ids are aggregated (summed) first so each touched row gets exactly one
+    read-modify-write, matching TF's ``_apply_sparse_duplicate_indices``.
+
+    Subclasses declare ``state_slots`` (state-table names, one zeros/
+    const-initialized table per param table each) and implement
+    ``_row_update(G, rows, step) -> (delta, new_rows)`` — the per-row
+    math at touched rows, where ``rows``/``new_rows`` map slot name →
+    row block aligned with ``G``.
+
+    Three application paths, identical semantics (tested against each
+    other and the dense oracle):
+    - ``DenseUpdate``: gradient already dense + touched mask (grouped
+      TransR path) — one masked elementwise pass.
+    - dense-G two-pass (tables ≤ ``DENSE_MOMENT_MAX_ELEMS`` elements):
+      scatter-sum gradients and a touched mask, then one dense masked
+      update. Avoids argsort+segment_sum (segment_sum is itself a
+      scatter) — the whole lazy update is two scatters + streaming
+      elementwise over the tables.
+    - sort-aggregation (huge tables): ``aggregate_duplicates`` then
+      collision-safe masked delta-adds at the unique rows, bounding
+      scratch memory to the update stream."""
+
+    state_slots: Tuple[str, ...] = ()
+    slot_init: Dict[str, float] = {}    # slot -> init constant (default 0)
+
+    # tables up to this many elements take the dense-G path (the scratch
+    # gradient table costs rows·dim f32 — 256 MB at the cap); bigger
+    # tables fall back to sort-aggregation to bound memory
+    DENSE_MOMENT_MAX_ELEMS = 64 * 1024 * 1024
+
+    def init(self, params):
+        return {s: {k: jnp.full_like(v, self.slot_init.get(s, 0.0))
+                    for k, v in params.items()}
+                for s in self.state_slots}
+
+    def _row_update(self, G, rows: Dict[str, jax.Array], step):
+        raise NotImplementedError
+
+    def apply(self, params, state, updates: Updates, step):
+        new_params = dict(params)
+        slot_state = {s: dict(state[s]) for s in self.state_slots}
+        for table, pairs in updates.items():
+            p = params[table]
+            if isinstance(pairs, DenseUpdate):
+                # dense lazy update, gradient already aggregated
+                touched = pairs.touched[:, None]
+                old = {s: slot_state[s][table] for s in self.state_slots}
+                delta, new_rows = self._row_update(pairs.grad, old, step)
+                for s in self.state_slots:
+                    slot_state[s][table] = jnp.where(touched, new_rows[s],
+                                                     old[s])
+                new_params[table] = p + jnp.where(touched, delta,
+                                                  0.0).astype(p.dtype)
+                continue
+            if len(pairs) == 1:
+                ids, g = pairs[0]
+            else:
+                ids = jnp.concatenate([i for i, _ in pairs])
+                g = jnp.concatenate([gg for _, gg in pairs])
+            rows = p.shape[0]
+
+            if p.size <= self.DENSE_MOMENT_MAX_ELEMS:
+                # dense-G two-pass
+                valid = (ids < rows)[:, None]
+                idc = jnp.minimum(ids, rows - 1)
+                G = jnp.zeros_like(p, shape=(rows,) + p.shape[1:],
+                                   dtype=jnp.float32)
+                G = G.at[idc].add(jnp.where(valid, g, 0.0))
+                touched = jnp.zeros((rows, 1), jnp.float32).at[idc].add(
+                    jnp.where(valid[:, :1], 1.0, 0.0)) > 0
+                old = {s: slot_state[s][table] for s in self.state_slots}
+                delta, new_rows = self._row_update(G, old, step)
+                for s in self.state_slots:
+                    slot_state[s][table] = jnp.where(touched, new_rows[s],
+                                                     old[s])
+                new_params[table] = p + jnp.where(touched, delta,
+                                                  0.0).astype(p.dtype)
+                continue
+
+            # sort-aggregation path; `rows` itself is the discard sentinel
+            # (also used by aggregate_duplicates for empty slots)
+            uids, agg = aggregate_duplicates(ids, g, sentinel=rows)
+            valid = (uids < rows)[:, None]
+            uc = jnp.minimum(uids, rows - 1)
+            old = {s: jnp.take(slot_state[s][table], uc, axis=0)
+                   for s in self.state_slots}
+            delta, new_rows = self._row_update(agg, old, step)
+            # collision-safe masked delta-adds: invalid lanes add exact 0
+            for s in self.state_slots:
+                slot_state[s][table] = slot_state[s][table].at[uc].add(
+                    jnp.where(valid, new_rows[s] - old[s], 0.0))
+            new_params[table] = new_params[table].at[uc].add(
+                jnp.where(valid, delta, 0.0).astype(p.dtype))
+        return new_params, slot_state
+
+
+class SparseAdam(_LazyRowOptimizer):
+    """Lazy Adam over touched rows (reference ``opt_method='Adam'``);
+    bias correction uses the global step."""
+
+    state_slots = ("m", "v")
 
     def __init__(self, cfg: Config):
         self.lr = cfg.alpha
@@ -148,101 +255,59 @@ class SparseAdam:
         self.b2 = cfg.adam_beta2
         self.eps = cfg.adam_eps
 
-    def init(self, params):
-        return {
-            "m": {k: jnp.zeros_like(v) for k, v in params.items()},
-            "v": {k: jnp.zeros_like(v) for k, v in params.items()},
-        }
-
-    # tables up to this many elements take the dense-G path (the scratch
-    # gradient table costs rows·dim f32 — 256 MB at the cap); bigger
-    # tables fall back to sort-aggregation to bound memory
-    DENSE_MOMENT_MAX_ELEMS = 64 * 1024 * 1024
-
-    def apply(self, params, state, updates: Updates, step):
-        new_params = dict(params)
-        m_state = dict(state["m"])
-        v_state = dict(state["v"])
+    def _row_update(self, G, rows, step):
         t = (step + 1).astype(jnp.float32)
         lr_t = self.lr * jnp.sqrt(1.0 - self.b2 ** t) / (1.0 - self.b1 ** t)
-        for table, pairs in updates.items():
-            if isinstance(pairs, DenseUpdate):
-                # dense-G lazy update, gradient already aggregated
-                touched = pairs.touched[:, None]
-                G = pairs.grad
-                m_new = jnp.where(touched,
-                                  self.b1 * m_state[table]
-                                  + (1.0 - self.b1) * G, m_state[table])
-                v_new = jnp.where(touched,
-                                  self.b2 * v_state[table]
-                                  + (1.0 - self.b2) * (G * G),
-                                  v_state[table])
-                delta = jnp.where(
-                    touched, -lr_t * m_new / (jnp.sqrt(v_new) + self.eps),
-                    0.0)
-                m_state[table] = m_new
-                v_state[table] = v_new
-                new_params[table] = (params[table]
-                                     + delta.astype(params[table].dtype))
-                continue
-            if len(pairs) == 1:
-                ids, g = pairs[0]
-            else:
-                ids = jnp.concatenate([i for i, _ in pairs])
-                g = jnp.concatenate([gg for _, gg in pairs])
-            rows = params[table].shape[0]
+        m_new = self.b1 * rows["m"] + (1.0 - self.b1) * G
+        v_new = self.b2 * rows["v"] + (1.0 - self.b2) * (G * G)
+        delta = -lr_t * m_new / (jnp.sqrt(v_new) + self.eps)
+        return delta, {"m": m_new, "v": v_new}
 
-            if params[table].size <= self.DENSE_MOMENT_MAX_ELEMS:
-                # dense-G two-pass: scatter-sum the gradients and a
-                # touched mask, then one dense masked moment/param update.
-                # Avoids the argsort+segment_sum aggregation (segment_sum
-                # is itself a scatter) — the whole lazy update is two
-                # scatters + streaming elementwise over the tables.
-                valid = (ids < rows)[:, None]
-                idc = jnp.minimum(ids, rows - 1)
-                G = jnp.zeros_like(params[table], shape=(rows,) +
-                                   params[table].shape[1:],
-                                   dtype=jnp.float32)
-                G = G.at[idc].add(jnp.where(valid, g, 0.0))
-                touched = jnp.zeros((rows, 1), jnp.float32).at[idc].add(
-                    jnp.where(valid[:, :1], 1.0, 0.0)) > 0
-                m_new = jnp.where(touched,
-                                  self.b1 * m_state[table]
-                                  + (1.0 - self.b1) * G, m_state[table])
-                v_new = jnp.where(touched,
-                                  self.b2 * v_state[table]
-                                  + (1.0 - self.b2) * (G * G),
-                                  v_state[table])
-                delta = jnp.where(
-                    touched, -lr_t * m_new / (jnp.sqrt(v_new) + self.eps),
-                    0.0)
-                m_state[table] = m_new
-                v_state[table] = v_new
-                new_params[table] = (params[table]
-                                     + delta.astype(params[table].dtype))
-                continue
 
-            # `rows` itself is the discard sentinel (also used by
-            # aggregate_duplicates for empty slots)
-            uids, agg = aggregate_duplicates(ids, g, sentinel=rows)
-            valid = (uids < rows)[:, None]
-            uc = jnp.minimum(uids, rows - 1)
-            m_rows = jnp.take(m_state[table], uc, axis=0)
-            v_rows = jnp.take(v_state[table], uc, axis=0)
-            m_new = self.b1 * m_rows + (1.0 - self.b1) * agg
-            v_new = self.b2 * v_rows + (1.0 - self.b2) * (agg * agg)
-            delta = -lr_t * m_new / (jnp.sqrt(v_new) + self.eps)
-            # collision-safe masked delta-adds: invalid lanes add exact 0
-            m_state[table] = m_state[table].at[uc].add(
-                jnp.where(valid, m_new - m_rows, 0.0))
-            v_state[table] = v_state[table].at[uc].add(
-                jnp.where(valid, v_new - v_rows, 0.0))
-            new_params[table] = new_params[table].at[uc].add(
-                jnp.where(valid, delta, 0.0).astype(params[table].dtype))
-        return new_params, {"m": m_state, "v": v_state}
+class SparseAdagrad(_LazyRowOptimizer):
+    """Lazy Adagrad (reference ``opt_method='Adagrad'``): TF1
+    ``AdagradOptimizer(alpha, initial_accumulator_value=1e-20)`` semantics
+    — ``accum += G²; param -= α·G/√accum`` at touched rows (no epsilon;
+    the tiny accumulator init is the reference's division guard)."""
+
+    state_slots = ("accum",)
+
+    def __init__(self, cfg: Config):
+        self.lr = cfg.alpha
+        self.slot_init = {"accum": cfg.adagrad_init_acc}
+
+    def _row_update(self, G, rows, step):
+        a_new = rows["accum"] + G * G
+        delta = -self.lr * G / jnp.sqrt(a_new)
+        return delta, {"accum": a_new}
+
+
+class SparseAdadelta(_LazyRowOptimizer):
+    """Lazy Adadelta (reference ``opt_method='Adadelta'``): TF1
+    ``AdadeltaOptimizer(alpha)`` defaults ρ=0.95, ε=1e-8. At touched rows:
+    ``accum = ρ·accum + (1−ρ)G²``; ``u = G·√(accum_update+ε)/√(accum+ε)``;
+    ``param -= α·u``; ``accum_update = ρ·accum_update + (1−ρ)u²``."""
+
+    state_slots = ("accum", "accum_update")
+
+    def __init__(self, cfg: Config):
+        self.lr = cfg.alpha
+        self.rho = cfg.adadelta_rho
+        self.eps = cfg.adadelta_eps
+
+    def _row_update(self, G, rows, step):
+        a_new = self.rho * rows["accum"] + (1.0 - self.rho) * (G * G)
+        u = (G * jnp.sqrt(rows["accum_update"] + self.eps)
+             / jnp.sqrt(a_new + self.eps))
+        delta = -self.lr * u
+        return delta, {"accum": a_new,
+                       "accum_update": self.rho * rows["accum_update"]
+                       + (1.0 - self.rho) * (u * u)}
+
+
+_OPTIMIZERS = {"sgd": SparseSGD, "adam": SparseAdam,
+               "adagrad": SparseAdagrad, "adadelta": SparseAdadelta}
 
 
 def make_optimizer(cfg: Config):
-    if cfg.opt_method.lower() == "sgd":
-        return SparseSGD(cfg)
-    return SparseAdam(cfg)
+    return _OPTIMIZERS[cfg.opt_method.lower()](cfg)

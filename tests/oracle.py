@@ -101,6 +101,44 @@ def dense_adam_step(model_name, cfg, params, m, v, step, h, t, r, batch_size):
     return float(loss), new_p, new_m, new_v
 
 
+def dense_adagrad_step(model_name, cfg, params, accum, step, h, t, r,
+                       batch_size):
+    """One lazy dense Adagrad step (TF1 semantics, no epsilon — the
+    reference's 1e-20 initial accumulator is the division guard)."""
+    loss, grads = jax.value_and_grad(
+        lambda p: dense_loss(model_name, cfg, p, h, t, r, batch_size))(params)
+    new_p, new_a = {}, {}
+    for k in params:
+        g = np.asarray(grads[k])
+        touched = np.any(g != 0, axis=-1, keepdims=True)
+        ak = np.where(touched, accum[k] + g * g, accum[k])
+        delta = np.where(touched, -cfg.alpha * g / np.sqrt(
+            np.where(touched, ak, 1.0)), 0.0)
+        new_p[k] = np.asarray(params[k]) + delta
+        new_a[k] = ak
+    return float(loss), new_p, new_a
+
+
+def dense_adadelta_step(model_name, cfg, params, accum, accum_upd, step, h,
+                        t, r, batch_size):
+    """One lazy dense Adadelta step (TF1 defaults ρ=0.95, ε=1e-8)."""
+    loss, grads = jax.value_and_grad(
+        lambda p: dense_loss(model_name, cfg, p, h, t, r, batch_size))(params)
+    rho, eps = cfg.adadelta_rho, cfg.adadelta_eps
+    new_p, new_a, new_u = {}, {}, {}
+    for k in params:
+        g = np.asarray(grads[k])
+        touched = np.any(g != 0, axis=-1, keepdims=True)
+        ak = np.where(touched, rho * accum[k] + (1 - rho) * g * g, accum[k])
+        u = g * np.sqrt(accum_upd[k] + eps) / np.sqrt(ak + eps)
+        new_p[k] = np.asarray(params[k]) + np.where(touched,
+                                                    -cfg.alpha * u, 0.0)
+        new_a[k] = ak
+        new_u[k] = np.where(touched, rho * accum_upd[k] + (1 - rho) * u * u,
+                            accum_upd[k])
+    return float(loss), new_p, new_a, new_u
+
+
 def transe_manual_grad(cfg, ent, rel, h, t, r, batch_size):
     """Fully hand-derived TransE L1 mean_neg gradient in NumPy (no autodiff
     anywhere). Returns (loss, d_ent, d_rel) dense arrays."""

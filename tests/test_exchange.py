@@ -83,8 +83,21 @@ def run_pair(ds, idx, mesh_shape, batch, model_name="transe", opt="sgd",
     specs = model.tables(cfg, ds.n_ent, ds.n_rel)
 
     def out(st, loss):
-        m = (strip_padding(st.opt_state["m"], specs)
-             if opt == "adam" else None)
+        # noise proxy ∝ aggregated |G| per cell, for assert_match's
+        # cancelled-gradient exemption (sign-scaled optimizers flip at
+        # reassociation-noise cells): adam's m = 0.1·G directly; for
+        # adagrad/adadelta reconstruct 0.1·|G| from the accumulators
+        m = None
+        if opt == "adam":
+            m = strip_padding(st.opt_state["m"], specs)
+        elif opt == "adagrad":
+            m = {k: 0.1 * np.sqrt(np.maximum(np.asarray(v) - 1e-20, 0.0))
+                 for k, v in strip_padding(st.opt_state["accum"],
+                                           specs).items()}
+        elif opt == "adadelta":
+            m = {k: 0.1 * np.sqrt(np.asarray(v) / 0.05)   # accum=(1−ρ)G²
+                 for k, v in strip_padding(st.opt_state["accum"],
+                                           specs).items()}
         return float(loss), strip_padding(st.params, specs), m
 
     return out(a, la), out(b, lb)
@@ -126,14 +139,14 @@ def test_exchange_matches_legacy(kg_big, mesh_shape, opt):
     assert_match(pa, pb, ma, msg=f"{opt}/{mesh_shape}")
 
 
-@pytest.mark.parametrize("opt", ["sgd", "adam"])
+@pytest.mark.parametrize("opt", ["sgd", "adam", "adagrad", "adadelta"])
 def test_exchange_small_table_path_matches_legacy(kg, opt):
     """On a tiny KG BOTH tables take the small-table route (full-table
-    all_gather + dense gradient psum, touched-row mask for lazy Adam) —
-    must still reproduce the legacy step exactly."""
+    all_gather + dense gradient psum, touched-row mask for the lazy
+    stateful optimizers) — must still reproduce the legacy step exactly."""
     ds, idx = kg
     (la, pa, ma), (lb, pb, _) = run_pair(ds, idx, (2, 2), batch=64, opt=opt,
-                                         steps=1 if opt == "adam" else 3)
+                                         steps=1 if opt != "sgd" else 3)
     assert la == pytest.approx(lb, rel=1e-6)
     assert_match(pa, pb, ma, msg=f"small-table/{opt}")
 

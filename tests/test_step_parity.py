@@ -18,8 +18,8 @@ from openkeonspark_tpu.train.optim import make_optimizer
 from openkeonspark_tpu.train.step import (build_train_step, init_state,
                                           loss_and_row_grads)
 
-from oracle import (dense_adam_step, dense_loss, dense_sgd_step,
-                    transe_manual_grad)
+from oracle import (dense_adadelta_step, dense_adagrad_step, dense_adam_step,
+                    dense_loss, dense_sgd_step, transe_manual_grad)
 
 MODELS = ["transe", "transh", "transr", "transd", "distmult",
           "complex"]
@@ -79,9 +79,38 @@ def test_sgd_step_matches_dense_oracle(name, loss_mode):
                                    atol=1e-6, err_msg=f"{name}/{k}")
 
 
+def _oracle_stateful_step(opt, name, cfg, dense, aux, step, h, t, r, B):
+    """Dispatch one lazy dense oracle step; ``aux`` is the optimizer-state
+    dict threaded between steps (zeros / adagrad-init on first call)."""
+    if aux is None:
+        zeros = {k: np.zeros_like(np.asarray(v)) for k, v in dense.items()}
+        if opt == "adam":
+            aux = {"m": dict(zeros), "v": dict(zeros)}
+        elif opt == "adagrad":
+            aux = {"accum": {k: np.full_like(np.asarray(v),
+                                             cfg.adagrad_init_acc)
+                             for k, v in dense.items()}}
+        else:
+            aux = {"accum": dict(zeros), "accum_update": dict(zeros)}
+    if opt == "adam":
+        loss, p, m, v = dense_adam_step(name, cfg, dense, aux["m"],
+                                        aux["v"], step, h, t, r, B)
+        return loss, p, {"m": m, "v": v}
+    if opt == "adagrad":
+        loss, p, a = dense_adagrad_step(name, cfg, dense, aux["accum"],
+                                        step, h, t, r, B)
+        return loss, p, {"accum": a}
+    loss, p, a, u = dense_adadelta_step(name, cfg, dense, aux["accum"],
+                                        aux["accum_update"], step, h, t, r, B)
+    return loss, p, {"accum": a, "accum_update": u}
+
+
 @pytest.mark.parametrize("name", ["transe", "transd"])
-def test_adam_step_matches_dense_lazy_oracle(name):
-    ds, cfg, model, sampler, state = setup(name, opt="adam")
+@pytest.mark.parametrize("opt", ["adam", "adagrad", "adadelta"])
+def test_stateful_opt_step_matches_dense_lazy_oracle(name, opt):
+    """All reference ``set_opt_method`` optimizers (VERDICT r3 #5): one
+    step of the sparse lazy implementation == the dense lazy oracle."""
+    ds, cfg, model, sampler, state = setup(name, opt=opt)
     B = 32
     step_fn = jax.jit(build_train_step(model, cfg, sampler, B))
     key = jax.random.key(43)
@@ -90,10 +119,8 @@ def test_adam_step_matches_dense_lazy_oracle(name):
     h, t, r = flat_ids(batch)
 
     dense0 = dense_params_from(state, model, cfg, ds.n_ent, ds.n_rel)
-    m0 = {k: np.zeros_like(np.asarray(v)) for k, v in dense0.items()}
-    v0 = {k: np.zeros_like(np.asarray(v)) for k, v in dense0.items()}
-    want_loss, want_params, _, _ = dense_adam_step(
-        name, cfg, dense0, m0, v0, 0, h, t, r, B)
+    want_loss, want_params, _ = _oracle_stateful_step(
+        opt, name, cfg, dense0, None, 0, h, t, r, B)
 
     new_state, loss = step_fn(state, sampler, key)
     np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
@@ -102,6 +129,32 @@ def test_adam_step_matches_dense_lazy_oracle(name):
     for k in got:
         np.testing.assert_allclose(got[k], want_params[k], rtol=1e-4,
                                    atol=1e-6, err_msg=f"{name}/{k}")
+
+
+@pytest.mark.parametrize("opt", ["adagrad", "adadelta"])
+def test_stateful_opt_two_steps_keep_parity(opt):
+    """Optimizer-state accumulation across steps (accumulators persist,
+    duplicate rows across batches) stays allclose to the dense oracle."""
+    ds, cfg, model, sampler, state = setup("transe", opt=opt)
+    B = 32
+    step_fn = jax.jit(build_train_step(model, cfg, sampler, B))
+    k1, k2 = jax.random.split(jax.random.key(44))
+
+    dense = dense_params_from(state, model, cfg, ds.n_ent, ds.n_rel)
+    aux = None
+    for i, k in enumerate((k1, k2)):
+        batch = sampler.sample(k, B, cfg.negative_ent, cfg.negative_rel,
+                               cfg.bern)
+        h, t, r = flat_ids(batch)
+        _, dense, aux = _oracle_stateful_step(
+            opt, "transe", cfg,
+            {n: jnp.asarray(v) for n, v in dense.items()}, aux, i, h, t, r, B)
+        state, _ = step_fn(state, sampler, k)
+
+    got = strip_padding(state.params, model.tables(cfg, ds.n_ent, ds.n_rel))
+    for k in got:
+        np.testing.assert_allclose(got[k], dense[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=k)
 
 
 def test_transe_manual_numpy_gradient():
