@@ -84,6 +84,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel mesh axis (triple partitions)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="model-parallel mesh axis (table row shards)")
+    p.add_argument("--chips_per_host", type=int, default=None,
+                   help="devices per ICI domain; grids spanning multiple "
+                        "hosts route the exchange hierarchically (ICI "
+                        "aggregation, one DCN crossing per host)")
     p.add_argument("--coordinator", default="",
                    help="jax.distributed coordinator addr (multi-host)")
     p.add_argument("--num_processes", type=int, default=1)
@@ -114,6 +118,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         steps_per_scan=args.steps_per_scan, log_every=args.log_every,
         log_path=args.log_path, trace_dir=args.trace_dir,
         mesh_shape=(args.mesh_data, args.mesh_model),
+        chips_per_host=args.chips_per_host,
         coordinator=args.coordinator, num_processes=args.num_processes,
         process_id=args.process_id,
     )

@@ -95,10 +95,17 @@ def run(cfg: Config, echo=print) -> dict:
 
     step_builder = None
     if use_mesh:
-        from openkeonspark_tpu.parallel import (make_exchange_step_builder,
+        from openkeonspark_tpu.parallel import (hier_shape,
+                                                make_exchange_step_builder,
                                                 make_mesh, shard_state)
         from openkeonspark_tpu.parallel.exchange import plan_sharded_step
-        mesh = make_mesh((d_axis, m_axis))
+        # topology-aware factorization: when the grid spans multiple hosts
+        # (cfg.chips_per_host), run the hierarchical two-stage exchange so
+        # rows cross DCN once per host (parallel/hier.py)
+        hshape = (hier_shape((d_axis, m_axis), cfg.chips_per_host)
+                  if cfg.chips_per_host and cfg.sharded_step == "exchange"
+                  else None)
+        mesh = make_mesh(hshape if hshape else (d_axis, m_axis))
         # round the batch down to a grid multiple so the exchange step's
         # geometry constraint (B/D divisible by M) always holds — the
         # reference's batch is itself a rounding (train_total // nbatches)
@@ -109,13 +116,16 @@ def run(cfg: Config, echo=print) -> dict:
             cfg = cfg.replace(batch_size=bs)
         # owner-directed boundary exchange (cfg.sharded_step='exchange');
         # falls back to the psum step when geometry requires. The state
-        # layout must match the step kind: flat (data×model) row sharding
-        # for the exchange step, 'model'-only for psum.
+        # layout must match the step kind: flat full-grid row sharding
+        # for the exchange steps, 'model'-only for psum.
         kind = plan_sharded_step(cfg, bs, mesh)
-        state = shard_state(state, mesh, flat=(kind == "exchange"))
+        state = shard_state(state, mesh, flat=(kind != "psum"))
         step_builder = make_exchange_step_builder(mesh)
         echo(f"mesh: data={d_axis} model={m_axis} "
-             f"({len(mesh.devices.flat)} devices) step={kind}")
+             f"({len(mesh.devices.flat)} devices"
+             + (f", {len(mesh.devices.flat) // cfg.chips_per_host} hosts"
+                if hshape else "")
+             + f") step={kind}")
 
     result = train(cfg, ds, index=index, state=state,
                    step_builder=step_builder, checkpoint_dir=out_dir,

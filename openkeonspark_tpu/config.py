@@ -91,6 +91,12 @@ class Config:
 
     # --- parallelism ----------------------------------------------------
     mesh_shape: Tuple[int, int] = (1, 1)   # (data, model) mesh axes
+    chips_per_host: Optional[int] = None   # devices per ICI domain (host).
+    #   When set and the grid spans multiple hosts, the exchange step runs
+    #   the HIERARCHICAL two-stage route (parallel/hier.py): requests and
+    #   updates aggregate within a host over ICI and cross DCN once per
+    #   host — the ≥80%-at-2-hosts lever (BASELINE.md §6). None = flat
+    #   single-stage routing (correct for any mesh inside one ICI domain)
     coordinator: str = ""            # jax.distributed coordinator addr (multi-host)
     num_processes: int = 1
     process_id: int = 0
@@ -140,6 +146,8 @@ class Config:
         if self.exchange_dedup not in ("gather", "both", "off"):
             raise ValueError(
                 f"unknown exchange_dedup {self.exchange_dedup!r}")
+        if self.chips_per_host is not None and self.chips_per_host < 1:
+            raise ValueError("chips_per_host must be >= 1")
 
     def scan_group_size(self, batch_size: int) -> int:
         """Steps fused per device dispatch: explicit ``steps_per_scan`` or

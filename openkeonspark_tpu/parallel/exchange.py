@@ -124,8 +124,8 @@ def capacity_for(n_ids: int, n_parts: int, slack: float,
     return max(1, c)
 
 
-def _a2a(x: jax.Array) -> jax.Array:
-    return jax.lax.all_to_all(x, AX, split_axis=0, concat_axis=0)
+def _a2a(x: jax.Array, axes=AX) -> jax.Array:
+    return jax.lax.all_to_all(x, axes, split_axis=0, concat_axis=0)
 
 
 def dedup_ids(ids: jax.Array, sentinel: int):
@@ -144,12 +144,15 @@ def dedup_ids(ids: jax.Array, sentinel: int):
 
 
 def _bucket(ids: jax.Array, n_parts: int, cap: int, lp: int,
-            valid: jax.Array):
+            valid: jax.Array, owner: Optional[jax.Array] = None):
     """Owner bucketing for one id stream. ``valid`` masks real entries
     (dedup padding / sentinels are routed to the sink slot and never
-    count as overflow). Returns (routed [U] bool, slot [U] ∈ [0, N·C] —
-    N·C is the sink slot, n_overflow scalar)."""
-    owner = jnp.clip(ids // lp, 0, n_parts - 1)
+    count as overflow). ``owner`` overrides the flat ``ids // lp`` rule
+    (hierarchical routing buckets by relay position / owner host).
+    Returns (routed [U] bool, slot [U] ∈ [0, N·C] — N·C is the sink slot,
+    n_overflow scalar)."""
+    if owner is None:
+        owner = jnp.clip(ids // lp, 0, n_parts - 1)
     onehot = ((owner[:, None] ==
                jnp.arange(n_parts, dtype=owner.dtype)[None, :])
               & valid[:, None])
@@ -182,19 +185,20 @@ def _route_gather(local: jax.Array, ids: jax.Array, routed: jax.Array,
 
 
 def _gather_fallback(local: jax.Array, ids: jax.Array, routed: jax.Array,
-                     valid: jax.Array, n_idx, n_parts: int) -> jax.Array:
+                     valid: jax.Array, n_idx, n_parts: int,
+                     axes=AX) -> jax.Array:
     """Exact rows for overflowed requests (valid & ~routed): all_gather the
     masked ids over the grid, serve owned rows, psum_scatter each requester
     its slice. Only reached inside the cond-gated slow branch."""
     lp, d = local.shape
     want = valid & ~routed
-    all_ids = jax.lax.all_gather(jnp.where(want, ids, -1), AX)  # [N, U]
+    all_ids = jax.lax.all_gather(jnp.where(want, ids, -1), axes)  # [N, U]
     lid = all_ids - n_idx * lp
     ok = (lid >= 0) & (lid < lp) & (all_ids >= 0)
     rows = jnp.take(local, jnp.clip(lid, 0, lp - 1).reshape(-1), axis=0)
     rows = jnp.where(ok.reshape(-1)[:, None], rows, 0)
     return jax.lax.psum_scatter(rows.reshape(n_parts, ids.shape[0], d),
-                                AX, scatter_dimension=0, tiled=False)
+                                axes, scatter_dimension=0, tiled=False)
 
 
 def _route_update(lp: int, ids: jax.Array, grads: jax.Array,
@@ -283,9 +287,21 @@ def _sub_batch(batch: SampledBatch, sub_idx, b_sub: int) -> SampledBatch:
 
 
 def plan_sharded_step(cfg: Config, batch_size: int, mesh: Mesh) -> str:
-    """'exchange' | 'psum' — the step kind a (cfg, batch, mesh) triple will
-    actually run. Callers MUST shard the state to match:
-    ``shard_state(state, mesh, flat=(kind == 'exchange'))``."""
+    """'hier' | 'exchange' | 'psum' — the step kind a (cfg, batch, mesh)
+    triple will actually run. Callers MUST shard the state to match:
+    ``shard_state(state, mesh, flat=(kind != 'psum'))``. A 3-axis
+    (host, data, model) mesh runs the hierarchical two-stage exchange
+    (``parallel/hier.py``)."""
+    from openkeonspark_tpu.parallel.mesh import HOST
+    if HOST in mesh.axis_names:
+        d_glob = mesh.shape[HOST] * mesh.shape[DATA]
+        b_local = max(1, batch_size // d_glob)
+        if cfg.sharded_step != "exchange" or b_local % mesh.shape[MODEL]:
+            raise ValueError(
+                "a (host,data,model) mesh requires sharded_step='exchange' "
+                f"with per-data-shard batch ({b_local}) divisible by the "
+                f"model axis ({mesh.shape[MODEL]})")
+        return "hier"
     d_axis, m_axis = mesh.shape[DATA], mesh.shape[MODEL]
     if d_axis * m_axis == 1:
         return "psum"
@@ -537,9 +553,14 @@ def build_train_step_for(model: KGEModel, cfg: Config,
                          mesh: Mesh) -> Callable:
     """Sharded step dispatch per :func:`plan_sharded_step`:
     ``cfg.sharded_step`` = 'exchange' (default, owner-directed flat-grid
-    exchange) falls back to 'psum' when the per-shard batch does not
-    divide by the model axis."""
-    if plan_sharded_step(cfg, batch_size, mesh) == "exchange":
+    exchange; the two-stage hierarchical variant on a (host,data,model)
+    mesh) falls back to 'psum' when the per-shard batch does not divide by
+    the model axis."""
+    kind = plan_sharded_step(cfg, batch_size, mesh)
+    if kind == "hier":
+        from openkeonspark_tpu.parallel.hier import build_hier_train_step
+        return build_hier_train_step(model, cfg, sampler, batch_size, mesh)
+    if kind == "exchange":
         return build_exchange_train_step(model, cfg, sampler, batch_size,
                                          mesh)
     return build_sharded_train_step(model, cfg, sampler, batch_size, mesh)

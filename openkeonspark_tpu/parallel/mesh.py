@@ -30,28 +30,62 @@ from openkeonspark_tpu.sampling.device import DeviceSampler
 from openkeonspark_tpu.train.step import TrainState
 
 DATA, MODEL = "data", "model"
+HOST = "host"   # outer axis of hierarchical (ICI-within / DCN-across) meshes
 
 
-def make_mesh(shape: Tuple[int, int] = (1, 1),
+def make_mesh(shape: Tuple[int, ...] = (1, 1),
               devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh of shape (data, model). ``shape=(−1, m)`` uses all devices."""
+    """Mesh of shape (data, model) — or (host, data, model) for the
+    hierarchical exchange step (``parallel/hier.py``), where 'host' is the
+    DCN-connected outer axis and (data, model) the ICI-local grid of one
+    host. ``shape=(−1, m)`` uses all devices. Devices are taken in
+    ``jax.devices()`` order, which JAX guarantees groups same-process
+    (same-host) devices contiguously — so a (host, data, model) reshape
+    puts each host's chips in one 'host' slice."""
     devices = list(devices if devices is not None else jax.devices())
-    d, m = shape
-    if d == -1:
-        d = len(devices) // m
-    if d * m != len(devices):
-        devices = devices[: d * m]
-    arr = np.array(devices).reshape(d, m)
-    return Mesh(arr, (DATA, MODEL))
+    shape = tuple(shape)
+    if shape[0] == -1:
+        rest = 1
+        for s in shape[1:]:
+            rest *= s
+        shape = (len(devices) // rest,) + shape[1:]
+    n = 1
+    for s in shape:
+        n *= s
+    if n != len(devices):
+        devices = devices[:n]
+    arr = np.array(devices).reshape(shape)
+    names = (HOST, DATA, MODEL) if len(shape) == 3 else (DATA, MODEL)
+    return Mesh(arr, names)
 
 
-def table_spec(flat: bool = False) -> P:
+def hier_shape(mesh_shape: Tuple[int, int],
+               chips_per_host: int) -> Optional[Tuple[int, int, int]]:
+    """(host, data, model) factorization of a (data, model) grid whose
+    ``data×model`` devices span multiple hosts of ``chips_per_host`` chips,
+    or None when the grid fits one host / does not factor. Requires the
+    model axis to fit within a host (``chips_per_host % model == 0``) so
+    each data row's model group rides ICI."""
+    d, m = mesh_shape
+    n = d * m
+    if chips_per_host <= 0 or n <= chips_per_host:
+        return None
+    if chips_per_host % m or n % chips_per_host:
+        return None
+    return (n // chips_per_host, chips_per_host // m, m)
+
+
+def table_spec(flat: bool = False, mesh: Optional[Mesh] = None) -> P:
     """Embedding-table row sharding. ``flat=False``: rows over 'model',
-    replicated over 'data' (the legacy psum step's layout). ``flat=True``:
-    rows over the WHOLE (data×model) grid — the owner-directed exchange
-    step's layout, where every update row crosses the wire exactly once
-    and per-device table memory shrinks by another data-axis factor."""
-    return P((DATA, MODEL), None) if flat else P(MODEL, None)
+    replicated over every other axis (the legacy psum step's layout).
+    ``flat=True``: rows over the WHOLE device grid (all mesh axes,
+    host-major) — the owner-directed exchange steps' layout, where every
+    update row crosses the wire exactly once and per-device table memory
+    shrinks by the full grid factor."""
+    if not flat:
+        return P(MODEL, None)
+    axes = tuple(mesh.axis_names) if mesh is not None else (DATA, MODEL)
+    return P(axes, None)
 
 
 def _put_global(x, sharding: NamedSharding):
@@ -70,9 +104,9 @@ def shard_state(state: TrainState, mesh: Mesh,
                 flat: bool = False) -> TrainState:
     """Place params + opt state row-sharded per :func:`table_spec`. Table
     row counts must be divisible by the sharded axis size (init with
-    ``pad_to_multiple=M`` for the legacy layout, ``=D·M`` for ``flat``;
-    padding to ``D·M`` always is safe for both)."""
-    tspec = NamedSharding(mesh, table_spec(flat))
+    ``pad_to_multiple=M`` for the legacy layout, ``=grid size`` for
+    ``flat``; padding to the grid size always is safe for both)."""
+    tspec = NamedSharding(mesh, table_spec(flat, mesh))
     rspec = NamedSharding(mesh, P())
 
     def put_tables(tree):

@@ -46,13 +46,14 @@ except ImportError:  # pragma: no cover - older layout
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _state_specs(model: KGEModel, cfg: Config,
-                 flat: bool = False) -> TrainState:
+def _state_specs(model: KGEModel, cfg: Config, flat: bool = False,
+                 axes=None) -> TrainState:
     """Pytree of PartitionSpecs matching TrainState structure: 2-D tables
-    row-sharded over 'model' (``flat=False``) or over the whole
-    (data×model) grid (``flat=True``, the exchange step's layout),
-    scalars replicated."""
-    spec = P((DATA, MODEL), None) if flat else P(MODEL, None)
+    row-sharded over 'model' (``flat=False``) or over the whole device
+    grid (``flat=True``, the exchange steps' layout; ``axes`` overrides
+    the (data, model) default for hierarchical meshes), scalars
+    replicated."""
+    spec = P(axes or (DATA, MODEL), None) if flat else P(MODEL, None)
     tables = {name: spec for name in model.tables(cfg, 1, 1)}
     opt = {s: dict(tables)
            for s in make_optimizer(cfg).state_slots}
