@@ -58,14 +58,18 @@ def _planted_projections(model: str, n_ent: int, n_rel: int, dim: int,
     (h, r, t) is true when ‖P_r[h] + v_r − P_r[t]‖ is small — exactly each
     model's score geometry (TransH hyperplanes, TransR matrices, TransD
     dynamic maps; TransE's P is the identity). Returns
-    ``(proj(r) -> [nE, dp], trans [nR, dp])``."""
+    ``(proj(r) -> [nE, dp], trans [nR, dp], params)`` where ``params`` is
+    the hidden structure as that family's framework parameter tables —
+    evaluating them through the ordinary evaluator gives the **recovery
+    ceiling** a trained model is measured against (VERDICT r3 next #4)."""
     ent = rng.normal(size=(n_ent, dim)).astype(np.float32)
     ent /= np.linalg.norm(ent, axis=1, keepdims=True)
     if model in ("transe", "distmult", "complex"):
         # bilinear models recover translation-planted structure well
         # (nearest-neighbor clusters are also high-dot-product clusters)
         v = (0.5 * rng.normal(size=(n_rel, dim))).astype(np.float32)
-        return (lambda r: ent), v
+        return (lambda r: ent), v, {"ent_embeddings": ent,
+                                    "rel_embeddings": v}
     if model == "transh":
         w = rng.normal(size=(n_rel, dim)).astype(np.float32)
         w /= np.linalg.norm(w, axis=1, keepdims=True)
@@ -74,12 +78,15 @@ def _planted_projections(model: str, n_ent: int, n_rel: int, dim: int,
 
         def proj(r):
             return ent - np.outer(ent @ w[r], w[r])
-        return proj, v
+        return proj, v, {"ent_embeddings": ent, "rel_embeddings": v,
+                         "normal_vectors": w}
     if model == "transr":
         dr = max(2, dim // 2)
         m = rng.normal(size=(n_rel, dim, dr)).astype(np.float32) / np.sqrt(dim)
         v = (0.5 * rng.normal(size=(n_rel, dr))).astype(np.float32)
-        return (lambda r: ent @ m[r]), v
+        return (lambda r: ent @ m[r]), v, {
+            "ent_embeddings": ent, "rel_embeddings": v,
+            "transfer_matrix": m.reshape(n_rel, dim * dr)}
     if model == "transd":
         ent_p = rng.normal(size=(n_ent, dim)).astype(np.float32) / np.sqrt(dim)
         rel_p = rng.normal(size=(n_rel, dim)).astype(np.float32)
@@ -88,14 +95,15 @@ def _planted_projections(model: str, n_ent: int, n_rel: int, dim: int,
 
         def proj(r):  # M_rh·e = e + r_p (e_p · e)
             return ent + dot * rel_p[r][None, :]
-        return proj, v
+        return proj, v, {"ent_embeddings": ent, "rel_embeddings": v,
+                         "ent_transfer": ent_p, "rel_transfer": rel_p}
     raise ValueError(f"no planted generator for model {model!r}")
 
 
 def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
                n_valid: int = 1000, n_test: int = 1000, dim: int = 16,
                noise: float = 0.05, seed: int = 0, model: str = "transe",
-               head_frac: float = 0.5) -> Dataset:
+               head_frac: float = 0.5, with_params: bool = False):
     """KG generated from a hidden model of the chosen family: a triple
     (h, r, t) is emitted when the projected entities satisfy
     ``P_r[h] + v_r ≈ P_r[t]`` — so a trained model of that family should
@@ -105,9 +113,15 @@ def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
     ``head_frac`` of the pairs are planted *head-wards* (draw (t, r), pick
     h among the nearest pre-images) so head prediction is as well-posed as
     tail prediction; the original generator only planted the tail
-    direction (VERDICT.md r1 next #5)."""
+    direction (VERDICT.md r1 next #5).
+
+    ``with_params=True`` returns ``(Dataset, hidden_params)`` — the
+    generator's own tables in framework layout (hidden dim!), whose
+    evaluation through the ordinary evaluator is the recovery CEILING
+    (``tools/quality_anchors.py``; VERDICT r3 next #4)."""
     rng = np.random.default_rng(seed)
-    proj, trans = _planted_projections(model, n_ent, n_rel, dim, rng)
+    proj, trans, hidden = _planted_projections(model, n_ent, n_rel, dim,
+                                               rng)
 
     per_pair = 4  # nearest candidates per (anchor, r) draw
     n_pairs = n_triples // per_pair + 1
@@ -144,8 +158,9 @@ def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
         triples = np.concatenate([triples, noise_t], axis=0)
     triples = _dedup(triples)
     train, valid, test = _split(triples, n_valid, n_test, rng)
-    return Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid,
-                   test=test)
+    ds = Dataset(n_ent=n_ent, n_rel=n_rel, train=train, valid=valid,
+                 test=test)
+    return (ds, hidden) if with_params else ds
 
 
 def fb15k237_like(seed: int = 0) -> Dataset:

@@ -1,7 +1,16 @@
 """Planted-structure generators for every model family + both directions
-(VERDICT.md r1 next #5) and the non-finite-params evaluation guard."""
+(VERDICT.md r1 next #5) and the non-finite-params evaluation guard.
+
+Recovery thresholds are **ceiling-normalized** (VERDICT r3 next #4): each
+test evaluates the generator's own hidden tables through the same
+evaluator (the achievable maximum given the KG's split and planting
+ambiguity) and requires the trained model to reach ≥ RECOVERY_FRAC of it
+per direction. Measured at these shapes the trained families hit 78–104%
+of ceiling (ceilings 0.67–0.90 Hits@10), so 0.6 leaves seed-noise margin
+while being ~2.5× stronger than the old absolute 0.25 floor."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -13,6 +22,26 @@ from openkeonspark_tpu.eval.link_prediction import (guard_finite_params,
 from openkeonspark_tpu.models import get_model
 from openkeonspark_tpu.train.loop import train
 from openkeonspark_tpu.train.step import init_state
+
+RECOVERY_FRAC = 0.6
+
+
+def ceiling_eval(model_name, ds, hidden, dim, idx):
+    """Evaluate the generator's hidden tables: the recovery ceiling.
+    p_norm=2 matches the generator's squared-Euclidean planting rule."""
+    cfg = Config(model=model_name, hidden_size=dim, p_norm=2,
+                 use_pallas_eval=False, eval_chunk=64, eval_block=128,
+                 **({"ent_size": dim, "rel_size": max(2, dim // 2)}
+                    if model_name == "transr" else {}))
+    return link_prediction({k: jnp.asarray(v) for k, v in hidden.items()},
+                           cfg, ds, idx, triples=ds.test)
+
+
+def assert_recovers(lp, ceil, model_name):
+    assert lp.filt_tail.hits10 >= RECOVERY_FRAC * ceil.filt_tail.hits10, \
+        (model_name, lp.filt_tail.hits10, ceil.filt_tail.hits10)
+    assert lp.filt_head.hits10 >= RECOVERY_FRAC * ceil.filt_head.hits10, \
+        (model_name, lp.filt_head.hits10, ceil.filt_head.hits10)
 
 
 @pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
@@ -30,62 +59,66 @@ def test_planted_head_direction_is_learnable():
     """head_frac plants pre-image structure: a trained TransE must rank
     heads as well as tails (the r1 generator was tail-only and head
     prediction was intrinsically ill-posed)."""
-    ds = planted_kg(n_ent=200, n_rel=6, n_triples=4000, n_valid=100,
-                    n_test=200, dim=8, noise=0.0, seed=1, head_frac=0.5)
+    ds, hidden = planted_kg(n_ent=200, n_rel=6, n_triples=4000, n_valid=100,
+                            n_test=200, dim=8, noise=0.0, seed=1,
+                            head_frac=0.5, with_params=True)
     cfg = Config(model="transe", hidden_size=24, alpha=0.1, margin=2.0,
                  train_times=25, nbatches=15, negative_ent=2,
                  use_pallas_eval=False, eval_chunk=64, eval_block=128)
     res = train(cfg, ds, echo=lambda *a, **k: None)
     idx = build_kg_index(ds, for_eval=True)
     lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
-    assert lp.filt_tail.hits10 > 0.25
-    assert lp.filt_head.hits10 > 0.25          # head-wards now well-posed
+    ceil = ceiling_eval("transe", ds, hidden, 8, idx)
+    assert_recovers(lp, ceil, "transe")        # head-wards now well-posed
 
 
 def test_planted_transh_recovery():
     """The family-matched generator is recoverable by its family's model
     (per-model CPU smoke; the TPU-scale anchors live in BASELINE.md)."""
-    ds = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
-                    n_test=120, dim=6, noise=0.0, seed=1, model="transh")
+    ds, hidden = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
+                            n_test=120, dim=6, noise=0.0, seed=1,
+                            model="transh", with_params=True)
     cfg = Config(model="transh", hidden_size=24, alpha=0.005, margin=2.0,
                  train_times=60, nbatches=15, negative_ent=2,
                  use_pallas_eval=False, eval_chunk=64, eval_block=128)
     res = train(cfg, ds, echo=lambda *a, **k: None)
     idx = build_kg_index(ds, for_eval=True)
     lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
-    assert lp.filt_tail.hits10 > 0.25
-    assert lp.filt_head.hits10 > 0.25
+    ceil = ceiling_eval("transh", ds, hidden, 6, idx)
+    assert_recovers(lp, ceil, "transh")
 
 
 def test_planted_transr_recovery():
     """End-to-end: a TransR-planted KG (per-relation projection matrices)
     is recoverable by TransR training — the 'verified recoverable' claim
     lives in the suite, not a commit message (VERDICT r2 missing #3)."""
-    ds = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
-                    n_test=120, dim=6, noise=0.0, seed=1, model="transr")
+    ds, hidden = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
+                            n_test=120, dim=6, noise=0.0, seed=1,
+                            model="transr", with_params=True)
     cfg = Config(model="transr", ent_size=24, rel_size=12, alpha=0.01,
                  margin=2.0, train_times=60, nbatches=15, negative_ent=2,
                  use_pallas_eval=False, eval_chunk=64, eval_block=128)
     res = train(cfg, ds, echo=lambda *a, **k: None)
     idx = build_kg_index(ds, for_eval=True)
     lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
-    assert lp.filt_tail.hits10 > 0.25
-    assert lp.filt_head.hits10 > 0.25
+    ceil = ceiling_eval("transr", ds, hidden, 6, idx)
+    assert_recovers(lp, ceil, "transr")
 
 
 def test_planted_transd_recovery():
     """End-to-end: a TransD-planted KG (dynamic entity/relation transfer
     maps) is recoverable by TransD training."""
-    ds = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
-                    n_test=120, dim=6, noise=0.0, seed=1, model="transd")
+    ds, hidden = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
+                            n_test=120, dim=6, noise=0.0, seed=1,
+                            model="transd", with_params=True)
     cfg = Config(model="transd", hidden_size=24, alpha=0.01, margin=2.0,
                  train_times=60, nbatches=15, negative_ent=2,
                  use_pallas_eval=False, eval_chunk=64, eval_block=128)
     res = train(cfg, ds, echo=lambda *a, **k: None)
     idx = build_kg_index(ds, for_eval=True)
     lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
-    assert lp.filt_tail.hits10 > 0.25
-    assert lp.filt_head.hits10 > 0.25
+    ceil = ceiling_eval("transd", ds, hidden, 6, idx)
+    assert_recovers(lp, ceil, "transd")
 
 
 def test_nan_params_refuse_to_evaluate():

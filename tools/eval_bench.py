@@ -6,8 +6,17 @@ triples — including the relation-grouped MXU path for TransR/TransH and
 the ``eval_dtype`` knob (VERDICT r2 #9: the r1 numbers predate the
 grouped TransH path and the bf16 projection was silently ignored).
 
+**Pinned protocol** (VERDICT r3 next #3 — the r3 table drifted vs r1 with
+no way to tell spread from regression): ``--repeats`` timed runs (default
+5) after one same-shape warm-up; the reported number is the **median**,
+with min/max spread. ``--write-anchor`` stores the medians in
+``bench_eval_anchor.json`` at the repo root; later runs print
+``vs_anchor`` so regressions are visible against a stored measurement,
+exactly like ``bench_baseline_cpu.json`` pins the training baseline.
+
 Usage: python tools/eval_bench.py [--models transe,transh,transr,transd]
                                   [--dtypes float32,bfloat16]
+                                  [--repeats 5] [--write-anchor]
 Prints one JSON line per (model, dtype).
 """
 
@@ -18,7 +27,12 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
+import os
+import statistics
 import time
+
+ANCHOR_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench_eval_anchor.json")
 
 
 def main():
@@ -26,6 +40,9 @@ def main():
     ap.add_argument("--models", default="transe,transh,transr,transd")
     ap.add_argument("--dtypes", default="float32,bfloat16")
     ap.add_argument("--n_test", type=int, default=20000)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--write-anchor", action="store_true",
+                    help="store the medians as the pinned anchor")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +58,14 @@ def main():
                    n_valid=1000, n_test=args.n_test, seed=7)
     idx = build_kg_index(ds, for_eval=True)
 
+    anchor = {}
+    if os.path.exists(ANCHOR_PATH):
+        with open(ANCHOR_PATH) as f:
+            anchor = json.load(f)
+    new_anchor = {"backend": jax.default_backend(),
+                  "n_test": args.n_test, "repeats": args.repeats,
+                  "medians": {}}
+
     for name in args.models.split(","):
         cfg0 = Config(model=name, hidden_size=200)
         if name == "transr":
@@ -55,20 +80,37 @@ def main():
             # would include recompilation (first r3 run: TransE f32
             # "3.7k t/s" was compile time; its bf16 twin hit the cache
             # because eval_dtype doesn't change the TransE program)
-            link_prediction(state.params, cfg, ds, idx, triples=ds.test)
-            t0 = time.perf_counter()
             res = link_prediction(state.params, cfg, ds, idx,
                                   triples=ds.test)
-            dt_s = time.perf_counter() - t0
-            print(json.dumps({
+            rates = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                res = link_prediction(state.params, cfg, ds, idx,
+                                      triples=ds.test)
+                rates.append(len(ds.test) / (time.perf_counter() - t0))
+            med = statistics.median(rates)
+            key = f"{name}/{dt}"
+            new_anchor["medians"][key] = round(med, 1)
+            rec = {
                 "model": name, "eval_dtype": dt,
                 "n_test": int(len(ds.test)), "n_ent": ds.n_ent,
-                "triples_per_sec": round(len(ds.test) / dt_s, 1),
-                "seconds": round(dt_s, 2),
+                "triples_per_sec": round(med, 1),
+                "spread": [round(min(rates), 1), round(max(rates), 1)],
+                "repeats": args.repeats,
                 # random embeddings → MR should hover near n_ent/2; a
                 # wildly smaller value would flag a counting bug
                 "filt_mr": round(res.filt_avg.mr, 1),
-            }), flush=True)
+            }
+            a = anchor.get("medians", {}).get(key)
+            if a:
+                rec["anchor"] = a
+                rec["vs_anchor"] = round(med / a, 3)
+            print(json.dumps(rec), flush=True)
+
+    if args.write_anchor:
+        with open(ANCHOR_PATH, "w") as f:
+            json.dump(new_anchor, f, indent=1)
+        print(f"# anchor written to {ANCHOR_PATH}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,18 @@
 """Per-family quality anchors: train each model on its family-matched
-planted KG at TPU scale and record filtered Hits@10 / MRR (VERDICT r2 #4).
+planted KG at TPU scale and record filtered Hits@10 / MRR (VERDICT r2 #4),
+**normalized by the generator's own ceiling** (VERDICT r3 next #4).
 
 The real benchmark splits are unfetchable in this sandbox, so the planted
 generators (``data/synth.planted_kg``) are the quality oracle: each KG is
 generated FROM a hidden model of the family, so the family's trainer must
-recover high filtered Hits@10. The numbers this prints are the anchors
-BASELINE.md pins (regressions in sampling/loss/eval all surface here).
+recover high filtered Hits@10. Raw planted-KG numbers are meaningless
+without a ceiling — the KG's split/noise/ambiguity caps what ANY model of
+the family can score — so each run also evaluates the generator's hidden
+tables through the same evaluator (``planted_kg(with_params=True)``,
+p_norm=2 to match the generator's Euclidean nearest-neighbor rule) and
+reports ``recovery = trained_hits10 / ceiling_hits10``. The numbers this
+prints are the anchors BASELINE.md pins (regressions in sampling/loss/
+eval all surface here).
 
 Usage: python tools/quality_anchors.py [--models transe,transh,transr,transd]
 Prints one JSON line per family.
@@ -48,6 +55,8 @@ def main():
     ap.add_argument("--models", default="transe,transh,transr,transd")
     args = ap.parse_args()
 
+    import jax.numpy as jnp
+
     from openkeonspark_tpu.config import Config
     from openkeonspark_tpu.data.index import build_kg_index
     from openkeonspark_tpu.data.synth import planted_kg
@@ -56,13 +65,25 @@ def main():
 
     for name in args.models.split(","):
         kg_kw, cfg_kw = SPECS[name]
-        ds = planted_kg(n_valid=2000, n_test=5000, noise=0.0, seed=1,
-                        model=name, head_frac=0.5, **kg_kw)
+        ds, hidden = planted_kg(n_valid=2000, n_test=5000, noise=0.0,
+                                seed=1, model=name, head_frac=0.5,
+                                with_params=True, **kg_kw)
         cfg = Config(model=name, nbatches=100, **cfg_kw)
         t0 = time.time()
         res = train(cfg, ds, echo=lambda *a, **k: None)
         train_s = time.time() - t0
         idx = build_kg_index(ds, for_eval=True)
+
+        # ceiling: the generator's hidden tables through the same
+        # evaluator — hidden dim, p_norm=2 (the generator plants by
+        # squared-Euclidean nearest neighbors)
+        dim = kg_kw["dim"]
+        ceil_cfg = Config(model=name, hidden_size=dim, p_norm=2,
+                          **({"ent_size": dim, "rel_size": max(2, dim // 2)}
+                             if name == "transr" else {}))
+        ceil = link_prediction({k: jnp.asarray(v) for k, v in hidden.items()},
+                               ceil_cfg, ds, idx, triples=ds.test)
+
         t0 = time.time()
         lp = link_prediction(res.state.params, cfg, ds, idx,
                              triples=ds.test)
@@ -76,6 +97,12 @@ def main():
             "filt_mrr": round(lp.filt_avg.mrr, 4),
             "filt_hits10_tail": round(lp.filt_tail.hits10, 4),
             "filt_hits10_head": round(lp.filt_head.hits10, 4),
+            "ceiling_hits10": round(ceil.filt_avg.hits10, 4),
+            "ceiling_mrr": round(ceil.filt_avg.mrr, 4),
+            "recovery_hits10": round(lp.filt_avg.hits10
+                                     / max(ceil.filt_avg.hits10, 1e-9), 4),
+            "recovery_mrr": round(lp.filt_avg.mrr
+                                  / max(ceil.filt_avg.mrr, 1e-9), 4),
         }), flush=True)
 
 
