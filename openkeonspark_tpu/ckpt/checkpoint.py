@@ -71,7 +71,28 @@ class CheckpointManager:
         path = self._path(step)
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
-        restored = self._ckptr.restore(path, tree)
+        try:
+            restored = self._ckptr.restore(path, tree)
+        except ValueError:
+            # physical row-count mismatch: the checkpoint was written with
+            # a different grid padding (e.g. trained on an 8-device mesh,
+            # restored for single-device eval). Logical rows are always a
+            # common prefix — padding rows are scatter sinks stripped at
+            # use — so restore template-free and prefix-copy into the
+            # requested layout.
+            raw = self._ckptr.restore(path)
+
+            def fit(tmpl, arr):
+                arr = np.asarray(arr)
+                shape = getattr(tmpl, "shape", arr.shape)
+                if tuple(shape) == arr.shape or arr.ndim == 0:
+                    return arr
+                out = np.zeros(shape, arr.dtype)
+                n = min(shape[0], arr.shape[0])
+                out[:n] = arr[:n]
+                return out
+
+            restored = jax.tree_util.tree_map(fit, tree, raw)
         manifest_path = os.path.join(self.directory, f"manifest_{step}.json")
         manifest = {}
         if os.path.exists(manifest_path):

@@ -41,20 +41,48 @@ def main(argv=None):
     index = build_kg_index(ds, for_eval=True)
 
     from openkeonspark_tpu.ckpt import CheckpointManager
+    # pad tables to the eval grid so the sharded evaluators divide evenly;
+    # restore() prefix-copies checkpoints written with a different padding
+    grid = cfg.mesh_shape[0] * cfg.mesh_shape[1]
     state = init_state(model, cfg, ds.n_ent, ds.n_rel,
-                       jax.random.key(cfg.seed))
+                       jax.random.key(cfg.seed),
+                       pad_to_multiple=max(1, grid))
     state, manifest = CheckpointManager(args.checkpoint).restore(state)
     print(f"restored step {int(state.step)} from {args.checkpoint}")
 
+    # multi-device evaluation when a mesh is configured: candidate axis
+    # over 'model', queries/triples over 'data' (VERDICT r3 next #6 —
+    # the secondary evaluators shard through the same machinery)
+    mesh = None
+    if cfg.mesh_shape[0] * cfg.mesh_shape[1] > 1:
+        from openkeonspark_tpu.parallel import make_mesh, shard_state
+        mesh = make_mesh(cfg.mesh_shape)
+        state = shard_state(state, mesh)   # rows over 'model'
+        print(f"eval mesh: {cfg.mesh_shape} "
+              f"({len(mesh.devices.flat)} devices)")
+
     if args.link_prediction:
-        from openkeonspark_tpu.eval import link_prediction
-        res = link_prediction(state.params, cfg, ds, index)
+        if mesh is not None:
+            from openkeonspark_tpu.parallel.eval import \
+                sharded_link_prediction
+            res = sharded_link_prediction(state.params, cfg, ds, index,
+                                          mesh)
+        else:
+            from openkeonspark_tpu.eval import link_prediction
+            res = link_prediction(state.params, cfg, ds, index)
         print(res.format_table())
         if cfg.type_constrain:
             from openkeonspark_tpu.data.type_constrain import maybe_load
             tc = maybe_load(cfg.in_path)
             if tc is None:
                 print("type_constrain.txt not found in dataset dir")
+            elif mesh is not None:
+                from openkeonspark_tpu.parallel.eval import \
+                    sharded_type_constrained_link_prediction
+                rc = sharded_type_constrained_link_prediction(
+                    state.params, cfg, ds, index, tc, mesh)
+                print("type-constrained (sharded):")
+                print(rc.format_table())
             else:
                 from openkeonspark_tpu.eval import (
                     type_constrained_link_prediction)
@@ -64,8 +92,13 @@ def main(argv=None):
                 print(rc.format_table())
     if args.triple_classification:
         from openkeonspark_tpu.eval import triple_classification
+        score_fn = None
+        if mesh is not None:
+            from openkeonspark_tpu.parallel.eval import ShardedTripleScorer
+            score_fn = ShardedTripleScorer(cfg, mesh)
         print("triple classification:",
-              triple_classification(state.params, cfg, ds, index))
+              triple_classification(state.params, cfg, ds, index,
+                                    score_fn=score_fn))
     if args.predict_tail:
         from openkeonspark_tpu.eval import predict_tail_entity
         h, r = map(int, args.predict_tail.split(","))

@@ -144,14 +144,19 @@ def _best_threshold(pos: np.ndarray, neg: np.ndarray) -> Tuple[float, float]:
 
 def fit_thresholds(params, cfg: Config, ds: Dataset, index: KGIndex,
                    neg_triples: Optional[np.ndarray] = None,
-                   seed: int = 1234) -> Tuple[Thresholds, float]:
+                   seed: int = 1234,
+                   score_fn=None) -> Tuple[Thresholds, float]:
     """Fit per-relation thresholds on valid; returns (thresholds,
-    valid accuracy) — the valid accuracy is the early-stopping signal."""
+    valid accuracy) — the valid accuracy is the early-stopping signal.
+    ``score_fn(params, triples) -> scores`` overrides the single-device
+    scorer (``parallel.eval.ShardedTripleScorer`` for row-sharded
+    tables, VERDICT r3 next #6)."""
     assert ds.valid is not None and len(ds.valid), "no valid split"
     if neg_triples is None:
         neg_triples = corrupt_split(ds.valid, index, ds.n_ent, seed)
-    pos_s = _score_triples(params, cfg, ds.valid)
-    neg_s = _score_triples(params, cfg, neg_triples)
+    score = score_fn or (lambda p, tr: _score_triples(p, cfg, tr))
+    pos_s = score(params, ds.valid)
+    neg_s = score(params, neg_triples)
 
     per_rel = np.zeros(ds.n_rel, np.float32)
     has_rel = np.zeros(ds.n_rel, bool)
@@ -172,18 +177,20 @@ def fit_thresholds(params, cfg: Config, ds: Dataset, index: KGIndex,
 
 def triple_classification(params, cfg: Config, ds: Dataset, index: KGIndex,
                           thresholds: Optional[Thresholds] = None,
-                          seed: int = 1234) -> Dict[str, float]:
+                          seed: int = 1234,
+                          score_fn=None) -> Dict[str, float]:
     """Reference ``test_triple_classification``: fit on valid (unless given
     thresholds), report accuracy/P/R/F1 on test positives + one corrupted
-    negative each."""
+    negative each. ``score_fn`` as in :func:`fit_thresholds`."""
     assert ds.test is not None and len(ds.test), "no test split"
     valid_acc = None
     if thresholds is None:
         thresholds, valid_acc = fit_thresholds(params, cfg, ds, index,
-                                               seed=seed)
+                                               seed=seed, score_fn=score_fn)
     neg = corrupt_split(ds.test, index, ds.n_ent, seed + 1)
-    pos_s = _score_triples(params, cfg, ds.test)
-    neg_s = _score_triples(params, cfg, neg)
+    score = score_fn or (lambda p, tr: _score_triples(p, cfg, tr))
+    pos_s = score(params, ds.test)
+    neg_s = score(params, neg)
     dec_pos = thresholds.decide(pos_s, ds.test[:, R])
     dec_neg = thresholds.decide(neg_s, neg[:, R])
     tp = int(dec_pos.sum())

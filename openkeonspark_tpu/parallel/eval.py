@@ -48,7 +48,11 @@ except ImportError:  # pragma: no cover
 class ShardedRanker:
     """Jitted, cached fused rank programs for one (cfg, mesh): each
     program scans every chunk, sharding queries over 'data' and the
-    candidate rows over 'model'."""
+    candidate rows over 'model'. With ``masks`` (type-constrained
+    protocol, VERDICT r3 next #6) the per-relation allowed masks are
+    sharded over 'model' along the ENTITY axis — at 10M+ entities the
+    dense [R, E] mask no longer fits one device, so each shard holds only
+    its own rows' columns and conjoins them locally before the psum."""
 
     def __init__(self, cfg: Config, mesh: Mesh, n_ent: int, k_max: int):
         self.cfg = cfg
@@ -56,14 +60,14 @@ class ShardedRanker:
         self.n_ent = n_ent
         self.k_max = k_max
         self.block = cfg.eval_block
-        self._mapped: Dict[str, callable] = {}
+        self._mapped: Dict[tuple, callable] = {}
 
-    def _body(self, replace: str):
+    def _body(self, replace: str, with_mask: bool):
         cfg, n_ent, block, k_max = (self.cfg, self.n_ent, self.block,
                                     self.k_max)
         model_name = cfg.model
 
-        def fused(params, kvals, h, t, r, gold, koff, kcnt):
+        def fused(params, kvals, h, t, r, gold, koff, kcnt, masks):
             from openkeonspark_tpu.eval.link_prediction import _known_window
             m_idx = jax.lax.axis_index(MODEL)
             cand_local = {name: params[name].astype(jnp.dtype(cfg.eval_dtype))
@@ -73,6 +77,9 @@ class ShardedRanker:
             nblocks = -(-Lp // block)
             padded = {k: jnp.pad(v, ((0, nblocks * block - Lp), (0, 0)))
                       for k, v in cand_local.items()}
+            mask_pad = (jnp.pad(masks, ((0, 0),
+                                        (0, nblocks * block - Lp)))
+                        if with_mask else None)
             row0 = m_idx * Lp
 
             def take(table, ids):
@@ -84,19 +91,26 @@ class ShardedRanker:
                 return jax.lax.psum(
                     jnp.where(ok[..., None], rows, 0), MODEL)
 
-            def local_scores(qv, ids):
+            def local_scores(qv, ids, am=None):
                 """[C, K] scores of candidate ``ids``, each scored by its
                 owning shard (masked), psum'd — same vmapped score_block
-                arithmetic as the candidate sweep."""
+                arithmetic as the candidate sweep. With ``am`` also
+                returns each id's allowed bit from its owning shard."""
                 lid = ids - m_idx * Lp
                 ok = (lid >= 0) & (lid < Lp)
-                cand = {name: jnp.take(padded[name],
-                                       jnp.clip(lid, 0, Lp - 1), 0)
+                lc = jnp.clip(lid, 0, Lp - 1)
+                cand = {name: jnp.take(padded[name], lc, 0)
                         for name in CANDIDATE_TABLES[model_name]}
                 s = jax.vmap(lambda qq, cc: score_block(
                     model_name, qq, cc, replace, cfg))(qv, cand)
                 s = s[:, 0, :].astype(jnp.float32)
-                return jax.lax.psum(jnp.where(ok, s, 0.0), MODEL)
+                s = jax.lax.psum(jnp.where(ok, s, 0.0), MODEL)
+                if am is None:
+                    return s
+                bit = jnp.take_along_axis(am, lc, axis=1)
+                bit = jax.lax.psum(
+                    jnp.where(ok, bit, 0).astype(jnp.int32), MODEL)
+                return s, bit
 
             def chunk(_, inp):
                 hq, tq, rq, g, ko, kc = inp
@@ -104,11 +118,17 @@ class ShardedRanker:
                 q = build_queries(model_name, params, hq, tq, rq, replace,
                                   cfg, take=take)
                 qv = jax.tree_util.tree_map(lambda x: x[:, None], q)
+                am = (jnp.take(mask_pad, rq, axis=0) if with_mask
+                      else None)  # [C, nblocks·block] LOCAL columns
                 gold_s = local_scores(qv, g[:, None])[:, 0]
                 known = _known_window(kvals, ko, kc, k_max, n_ent)
                 kn = jnp.minimum(known, jnp.int32(rows_phys - 1))
-                ks = local_scores(qv, kn)
                 kvalid = (known < n_ent) & (known != g[:, None])
+                if with_mask:
+                    ks, kbit = local_scores(qv, kn, am)
+                    kvalid = kvalid & (kbit > 0)
+                else:
+                    ks = local_scores(qv, kn)
                 known_better = jnp.sum((ks < gold_s[:, None]) & kvalid,
                                        axis=1).astype(jnp.int32)
 
@@ -124,6 +144,9 @@ class ShardedRanker:
                     ok = ((s.astype(jnp.float32) < gold_s[:, None])
                           & (ids < n_ent) & (ids != g[:, None])
                           & (local < Lp))
+                    if with_mask:
+                        ok = ok & (jax.lax.dynamic_slice_in_dim(
+                            am, cand0, block, 1) > 0)
                     return acc + jnp.sum(ok, axis=1).astype(jnp.int32), None
 
                 acc, _ = jax.lax.scan(body, jnp.zeros((C,), jnp.int32),
@@ -135,22 +158,28 @@ class ShardedRanker:
 
         return fused
 
-    def run(self, params, kvals, h, t, r, gold, koff, kcnt, replace: str):
+    def run(self, params, kvals, h, t, r, gold, koff, kcnt, replace: str,
+            masks=None):
         """All arrays [NC, C_global(, ...)] — queries shard over 'data' on
-        axis 1; params row-sharded over 'model'. Returns (raw counts,
-        known-better counts)."""
-        if replace not in self._mapped:
+        axis 1; params row-sharded over 'model'; optional ``masks``
+        [R, rows_phys] uint8 sharded over 'model' on the entity axis.
+        Returns (raw counts, known-better counts)."""
+        key = (replace, masks is not None)
+        if key not in self._mapped:
             pspecs = {name: P(MODEL, None) for name in params}
             q_spec = P(None, DATA)
-            self._mapped[replace] = jax.jit(shard_map(
-                self._body(replace), mesh=self.mesh,
+            self._mapped[key] = jax.jit(shard_map(
+                self._body(replace, masks is not None), mesh=self.mesh,
                 in_specs=(pspecs, P(), q_spec, q_spec, q_spec, q_spec,
-                          q_spec, q_spec),
+                          q_spec, q_spec,
+                          P(None, MODEL) if masks is not None else P()),
                 out_specs=(q_spec, q_spec),
                 check_vma=False,
             ))
-        return self._mapped[replace](params, kvals, h, t, r, gold, koff,
-                                     kcnt)
+        return self._mapped[key](params, kvals, h, t, r, gold, koff,
+                                 kcnt,
+                                 masks if masks is not None
+                                 else jnp.zeros((), jnp.uint8))
 
 
 def sharded_link_prediction(params, cfg: Config, ds, index, mesh: Mesh,
@@ -208,3 +237,142 @@ def sharded_link_prediction(params, cfg: Config, ds, index, mesh: Mesh,
         filt_tail=DirectionMetrics.from_ranks(ranks["filt_tail"]),
         ranks=ranks,
     )
+
+
+def sharded_type_constrained_link_prediction(params, cfg: Config, ds, index,
+                                             tc, mesh: Mesh, triples=None,
+                                             log=None):
+    """Multi-device variant of ``eval.type_constrained_link_prediction``
+    (VERDICT r3 next #6): per-relation allowed masks are sharded over
+    'model' along the entity axis, so the dense [R, E] mask that caps the
+    single-device path at ~1e9 elements is divided by the model-axis size
+    — the 10M+-entity config-#5 scale keeps a runnable type-constrained
+    evaluator. Ranks are identical to the single-device path (parity test
+    on the 8-device CPU mesh)."""
+    from openkeonspark_tpu.data.dataset import H, R, T
+    from openkeonspark_tpu.eval.link_prediction import (DirectionMetrics,
+                                                        LinkPredictionResult,
+                                                        guard_finite_params)
+    from jax.sharding import NamedSharding
+    if triples is None:
+        triples = ds.test
+    assert index.hr_all is not None and index.tr_all is not None
+    guard_finite_params(params)
+    D = mesh.shape[DATA]
+    M = mesh.shape[MODEL]
+    chunk = cfg.eval_chunk_size * D
+    rows_phys = params["ent_embeddings"].shape[0]
+    assert rows_phys % M == 0
+
+    hm = np.zeros((ds.n_rel, rows_phys), np.uint8)
+    tm = np.zeros((ds.n_rel, rows_phys), np.uint8)
+    hm[:, :ds.n_ent] = tc.head_mask(ds.n_ent)
+    tm[:, :ds.n_ent] = tc.tail_mask(ds.n_ent)
+    mspec = NamedSharding(mesh, P(None, MODEL))
+    hm_dev = jax.device_put(hm, mspec)
+    tm_dev = jax.device_put(tm, mspec)
+
+    h_all, t_all, r_all = triples[:, H], triples[:, T], triples[:, R]
+    n = len(triples)
+    offt, cntt = index.hr_all.lookup(h_all, r_all)
+    offh, cnth = index.tr_all.lookup(t_all, r_all)
+    k_max = int(max(cntt.max() if n else 0, cnth.max() if n else 0, 1))
+    k_max = -(-k_max // 64) * 64
+    ranker = ShardedRanker(cfg, mesh, ds.n_ent, k_max)
+    kvals_t = Packed1D.build(index.hr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
+    kvals_h = Packed1D.build(index.tr_all.sorted_vals.astype(np.int32),
+                             pad_value=ds.n_ent)
+
+    pad = (-n) % chunk
+    ext = lambda a: np.concatenate([a, np.repeat(a[:1], pad)]) if pad else a
+    nc = (n + pad) // chunk
+    c2 = lambda a: jnp.asarray(ext(a).reshape(nc, chunk))
+    hq, tq, rq = c2(h_all), c2(t_all), c2(r_all)
+    ot, ct, oh, ch = c2(offt), c2(cntt), c2(offh), c2(cnth)
+
+    ranks = {}
+    for replace, gold, kv, ko, kc, mask, rk, fk in (
+            ("tail", tq, kvals_t, ot, ct, tm_dev, "raw_tail", "filt_tail"),
+            ("head", hq, kvals_h, oh, ch, hm_dev, "raw_head", "filt_head")):
+        raw, known_better = ranker.run(params, kv, hq, tq, rq, gold,
+                                       ko, kc, replace, masks=mask)
+        ranks[rk] = np.asarray(raw).reshape(-1)[:n].astype(np.int64)
+        ranks[fk] = (np.asarray(raw).reshape(-1)
+                     - np.asarray(known_better).reshape(-1))[:n].astype(
+                         np.int64)
+        if log:
+            log(f"sharded type-constrained {replace} done ({n} triples)")
+
+    return LinkPredictionResult(
+        raw_head=DirectionMetrics.from_ranks(ranks["raw_head"]),
+        raw_tail=DirectionMetrics.from_ranks(ranks["raw_tail"]),
+        filt_head=DirectionMetrics.from_ranks(ranks["filt_head"]),
+        filt_tail=DirectionMetrics.from_ranks(ranks["filt_tail"]),
+        ranks=ranks,
+    )
+
+
+class ShardedTripleScorer:
+    """Score explicit (h, t, r) id triples against row-sharded tables:
+    triples shard over 'data', each slot's rows come via masked-take +
+    psum over 'model', scoring arithmetic is the model's ordinary
+    ``score(slots)`` — bitwise the values of ``score_triples`` on dense
+    tables. Backs the sharded classification-threshold path
+    (VERDICT r3 next #6)."""
+
+    def __init__(self, cfg: Config, mesh: Mesh):
+        from openkeonspark_tpu.models.base import get_model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.D = mesh.shape[DATA]
+        model = get_model(cfg.model)
+        cfg_ = cfg
+
+        def body(params, h, t, r):
+            m_idx = jax.lax.axis_index(MODEL)
+
+            def take(table, ids):
+                lp = table.shape[0]
+                lid = ids - m_idx * lp
+                ok = (lid >= 0) & (lid < lp)
+                rows = jnp.take(table, jnp.clip(lid, 0, lp - 1), 0)
+                return jax.lax.psum(jnp.where(ok[..., None], rows, 0),
+                                    MODEL)
+
+            anchors = {"h": h, "t": t, "r": r}
+            slots = {slot: take(params[table], anchors[anchor])
+                     for slot, table, anchor in model.gathers()}
+            return model.score(slots, cfg_)
+
+        pspecs_fn = lambda params: {name: P(MODEL, None) for name in params}
+        self._mapped = None
+        self._body = body
+        self._pspecs_fn = pspecs_fn
+
+    def __call__(self, params, triples: np.ndarray,
+                 batch: int = 65536) -> np.ndarray:
+        from openkeonspark_tpu.data.dataset import H, R, T
+        if self._mapped is None:
+            self._mapped = jax.jit(shard_map(
+                self._body, mesh=self.mesh,
+                in_specs=(self._pspecs_fn(params), P(DATA), P(DATA),
+                          P(DATA)),
+                out_specs=P(DATA),
+                check_vma=False,
+            ))
+        outs = []
+        step = batch * self.D
+        for s in range(0, len(triples), step):
+            e = min(s + step, len(triples))
+            m = e - s
+            pad = (-m) % self.D
+            chunk = np.concatenate([triples[s:e],
+                                    triples[s:s + 1].repeat(pad, 0)])
+            sc = np.asarray(self._mapped(params,
+                                         jnp.asarray(chunk[:, H]),
+                                         jnp.asarray(chunk[:, T]),
+                                         jnp.asarray(chunk[:, R])))
+            outs.append(sc[:m])
+        return (np.concatenate(outs) if outs
+                else np.empty(0, np.float32))

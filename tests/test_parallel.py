@@ -192,3 +192,55 @@ def test_bilinear_models_shard_like_single_device(kg, model_name):
     for k in pa:
         np.testing.assert_allclose(pa[k], pb[k], rtol=1e-6, atol=1e-7,
                                    err_msg=f"{model_name}/{k}")
+
+
+def test_sharded_type_constrained_matches_single_device(kg):
+    """Type-constrained ranks with the mask sharded over 'model' along the
+    entity axis must equal the single-device dense-mask evaluator exactly
+    (VERDICT r3 next #6)."""
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.type_constrain import build_type_constraints
+    from openkeonspark_tpu.eval import type_constrained_link_prediction
+    from openkeonspark_tpu.parallel.eval import \
+        sharded_type_constrained_link_prediction
+
+    ds, _ = kg
+    idx = build_kg_index(ds, for_eval=True)
+    tc = build_type_constraints(ds)
+    cfg = Config(model="transe", hidden_size=16, eval_chunk=8,
+                 eval_block=32, use_pallas_eval=False)
+    model = get_model(cfg.model)
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(8),
+                       pad_to_multiple=4)
+    mesh = make_mesh((2, 4))
+    sh = shard_state(state, mesh)
+    res1 = type_constrained_link_prediction(state.params, cfg, ds, idx, tc,
+                                            triples=ds.test[:24])
+    res2 = sharded_type_constrained_link_prediction(
+        sh.params, cfg, ds, idx, tc, mesh, triples=ds.test[:24])
+    for k in res1.ranks:
+        np.testing.assert_array_equal(res1.ranks[k], res2.ranks[k],
+                                      err_msg=k)
+
+
+def test_sharded_classification_matches_single_device(kg):
+    """Thresholds fitted from ShardedTripleScorer scores must reproduce
+    the single-device classification metrics (identical arithmetic: each
+    slot row is served by its owning shard and psum'd)."""
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.eval import triple_classification
+    from openkeonspark_tpu.parallel.eval import ShardedTripleScorer
+
+    ds, _ = kg
+    idx = build_kg_index(ds, for_eval=True)
+    cfg = Config(model="transe", hidden_size=16)
+    model = get_model(cfg.model)
+    state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(8),
+                       pad_to_multiple=4)
+    mesh = make_mesh((2, 4))
+    sh = shard_state(state, mesh)
+    r1 = triple_classification(state.params, cfg, ds, idx)
+    r2 = triple_classification(sh.params, cfg, ds, idx,
+                               score_fn=ShardedTripleScorer(cfg, mesh))
+    for k in r1:
+        assert r1[k] == pytest.approx(r2[k], abs=1e-9), (k, r1, r2)
