@@ -176,6 +176,18 @@ class DeviceSampler:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    def store_bytes(self) -> int:
+        """HBM footprint of the sampler's device-resident arrays (packed
+        triple records + complement adjacencies + bern table). Compare
+        against the chip's HBM budget (minus tables/optimizer/workspace)
+        when choosing ``sampler='device'`` vs ``'host'`` — the host
+        pipeline (``sampling/host.py``) exists precisely for stores that
+        do not fit (measured ≈48 B/triple + 4 B/adjacency entry; see
+        DESIGN.md "host-sampler crossover")."""
+        import numpy as _np
+        return int(sum(_np.asarray(leaf).nbytes for leaf in
+                       jax.tree_util.tree_leaves(self.tree_flatten()[0])))
+
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, ds: Dataset, index: KGIndex) -> "DeviceSampler":
