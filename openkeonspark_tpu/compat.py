@@ -49,6 +49,8 @@ class Config:
         self._result = None
         self._thresholds = None
         self._import_path: Optional[str] = None
+        self._export_path: Optional[str] = None
+        self._export_steps: int = 0
 
     # --- reference setters (Config.py set_* family) --------------------
 
@@ -68,7 +70,21 @@ class Config:
         self._import_path = path
 
     def set_export_files(self, path: str, steps: int = 0):
+        """Reference semantics: periodic model export every ``steps``
+        epochs during ``run()`` (``export_steps``), plus the final export
+        location; ``steps=0`` exports only at the end (r3 advisor: the
+        ``steps`` argument used to be ignored)."""
         self._kw["out_path"] = path
+        self._export_path = path
+        self._export_steps = int(steps)
+
+    def set_export_steps(self, steps: int):
+        """Reference alias for the periodic-export interval."""
+        self._export_steps = int(steps)
+
+    def set_log_on(self, flag: int):
+        """Reference: per-epoch loss printing on/off (log_every 1/0)."""
+        self._kw["log_every"] = 1 if flag else 0
 
     def set_work_threads(self, n: int):
         self._kw["work_threads"] = int(n)
@@ -187,9 +203,27 @@ class Config:
         self._require("run()")
         from openkeonspark_tpu.train.loop import train
         cfg = self.cfg
+        cb = None
+        if self._export_path and self._export_steps > 0:
+            # reference export_steps: periodic vec.json export during
+            # training (Config.py train loop's export hook)
+            import os
+            from openkeonspark_tpu.ckpt.checkpoint import export_parameters
+            from openkeonspark_tpu.models.base import get_model
+            model = get_model(cfg.model)
+            dest = os.path.join(self._export_path, "embedding.vec.json") \
+                if not self._export_path.endswith(".json") \
+                else self._export_path
+
+            def cb(epoch, state):
+                if (epoch + 1) % self._export_steps == 0:
+                    export_parameters(state.params, model, cfg,
+                                      self._ds.n_ent, self._ds.n_rel,
+                                      dest, fmt="json")
         self._result = train(cfg, self._ds, index=self._index,
                              state=self._state,
-                             checkpoint_dir=cfg.out_path or None, echo=echo)
+                             checkpoint_dir=cfg.out_path or None,
+                             epoch_callback=cb, echo=echo)
         self._state = self._result.state
         return self._result
 

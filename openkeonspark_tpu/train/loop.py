@@ -82,6 +82,7 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
           step_builder: Optional[Callable] = None,
           checkpoint_dir: Optional[str] = None,
           valid_fn: Optional[Callable] = None,
+          epoch_callback: Optional[Callable] = None,
           echo: Callable[[str], None] = print) -> TrainResult:
     """Run the full training schedule.
 
@@ -94,6 +95,9 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
       reference's signal); higher is better.
     - ``checkpoint_dir``: save ``step_N`` checkpoints on improvement + at
       the end (reference: MonitoredTrainingSession + chief export).
+    - ``epoch_callback(epoch, state)``: invoked after every epoch (the
+      compat facade's periodic ``set_export_files(..., steps)`` export,
+      reference ``export_steps`` semantics).
     """
     model = get_model(cfg.model)
     if index is None:
@@ -214,7 +218,10 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
                     bad_checks += 1
 
             result.history.append(stats)
-            if (epoch + 1) % max(cfg.log_every, 1) == 0:
+            if epoch_callback is not None:
+                epoch_callback(epoch, state)
+            # log_every=0 silences per-epoch records (compat set_log_on(0))
+            if cfg.log_every and (epoch + 1) % cfg.log_every == 0:
                 rec = {"epoch": epoch, "loss": mean_loss,
                        "triples_per_sec": round(tps, 1),
                        "seconds": round(dt, 3)}

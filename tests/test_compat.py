@@ -142,3 +142,80 @@ def test_set_opt_method_accepts_reference_names(kg_dir):
         con.init()
         con.set_model(TransE)
         assert con.cfg.opt_method == name.lower()
+
+
+def test_setter_walk_full_reference_surface(kg_dir):
+    """Walk the full documented reference Config setter surface
+    (SURVEY.md §2.1 Config row + the OpenKE-lineage extras) — every
+    setter must be accepted and land in the effective cfg
+    (VERDICT r3 next #10)."""
+    con = Config()
+    calls = [
+        ("set_in_path", (kg_dir,), "in_path", kg_dir),
+        ("set_out_path", ("/tmp/x",), "out_path", "/tmp/x"),
+        ("set_work_threads", (3,), "work_threads", 3),
+        ("set_train_times", (7,), "train_times", 7),
+        ("set_nbatches", (9,), "nbatches", 9),
+        ("set_alpha", (0.02,), "alpha", 0.02),
+        ("set_margin", (4.0,), "margin", 4.0),
+        ("set_bern", (0,), "bern", False),
+        ("set_dimension", (16,), "hidden_size", 16),
+        ("set_ent_dimension", (16,), "ent_size", 16),
+        ("set_rel_dimension", (8,), "rel_size", 8),
+        ("set_ent_neg_rate", (2,), "negative_ent", 2),
+        ("set_rel_neg_rate", (1,), "negative_rel", 1),
+        ("set_opt_method", ("Adagrad",), "opt_method", "adagrad"),
+        ("set_test_link_prediction", (True,), "test_link_prediction", True),
+        ("set_test_triple_classification", (True,),
+         "test_triple_classification", True),
+        ("set_valid_steps", (5,), "valid_every", 5),
+        ("set_early_stopping_patience", (3,), "early_stop_patience", 3),
+        ("set_seed", (11,), "seed", 11),
+        ("set_p_norm", (2,), "p_norm", 2),
+        ("set_log_on", (0,), "log_every", 0),
+    ]
+    for name, args, field, want in calls:
+        getattr(con, name)(*args)
+        assert getattr(con.cfg, field) == want, (name, field)
+    # path-state setters (no cfg field): must exist and be callable
+    con.set_import_files("/tmp/none")  # arms restore; checked in set_model
+    con.set_export_files("/tmp/x", 2)
+    con.set_export_steps(3)
+    assert con._export_steps == 3
+
+
+def test_export_steps_periodic_export(kg_dir, tmp_path):
+    """set_export_files(path, steps) must export vec.json every `steps`
+    epochs during run() (the r3 advisor flagged steps as ignored)."""
+    import json
+    out = str(tmp_path / "exp")
+    con = Config()
+    con.set_in_path(kg_dir)
+    con.set_train_times(4)
+    con.set_nbatches(5)
+    con.set_dimension(8)
+    con.set_log_on(0)
+    con.set_export_files(out, 2)
+    con.init()
+    con.set_model(TransE)
+    seen = []
+    import openkeonspark_tpu.ckpt.checkpoint as ck
+    orig = ck.export_parameters
+
+    def spy(*a, **k):
+        seen.append(a[5])
+        return orig(*a, **k)
+
+    ck.export_parameters = spy
+    try:
+        con.run(echo=lambda *a, **k: None)
+    finally:
+        ck.export_parameters = orig
+    # epochs 2 and 4 (1-based) → two periodic exports
+    assert len(seen) == 2, seen
+    import os
+    p = os.path.join(out, "embedding.vec.json")
+    assert os.path.exists(p)
+    with open(p) as f:
+        tables = json.load(f)
+    assert "ent_embeddings" in tables
