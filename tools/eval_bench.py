@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--write-anchor", action="store_true",
                     help="store the medians as the pinned anchor")
+    ap.add_argument("--eval-chunk", type=int, default=None,
+                    help="override cfg.eval_chunk (sweep knob)")
+    ap.add_argument("--eval-block", type=int, default=None)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the Pallas rank kernel (sweep knob)")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +75,12 @@ def main():
         cfg0 = Config(model=name, hidden_size=200)
         if name == "transr":
             cfg0 = cfg0.replace(ent_size=200, rel_size=100)
+        if args.eval_chunk is not None:
+            cfg0 = cfg0.replace(eval_chunk=args.eval_chunk)
+        if args.eval_block is not None:
+            cfg0 = cfg0.replace(eval_block=args.eval_block)
+        if args.no_pallas:
+            cfg0 = cfg0.replace(use_pallas_eval=False)
         model = get_model(name)
         state = init_state(model, cfg0, ds.n_ent, ds.n_rel,
                            jax.random.key(3))
