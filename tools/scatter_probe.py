@@ -88,8 +88,11 @@ def tile_mxu_scatter(table, ids, delta, tile, smax):
 
 
 def sort_gather(table, ids, delta):
+    """Component cost: argsort the id stream + reorder the delta rows —
+    the entry fee of EVERY sorted-run variant."""
     order = jnp.argsort(ids)
-    return table + 0.0 * jnp.take(delta, order, axis=0)[:table.shape[0] % 7 + 1].sum(0)
+    sdelta = jnp.take(delta, order, axis=0)
+    return table + sdelta[:1]   # consume, keep carry shape
 
 
 def make_scan(variant, K):
@@ -163,8 +166,11 @@ def main():
     mxu = functools.partial(tile_mxu_scatter, tile=args.tile,
                             smax=args.smax)
     t_m, out_m = timeit_scan(mxu, table, ids_all, delta, K, args.repeats)
+    t_s, _ = timeit_scan(sort_gather, table, ids_all, delta, K,
+                         args.repeats)
     t_x = max(t_x - t_0, 1e-9)
     t_m = max(t_m - t_0, 1e-9)
+    t_s = max(t_s - t_0, 1e-9)
     err = float(jnp.max(jnp.abs(out_x - out_m)))
     scale = float(jnp.max(jnp.abs(out_x)))
     # spill fraction on the first step's stream (skew diagnostics)
@@ -182,6 +188,7 @@ def main():
         "tile_mxu_us": round(t_m * 1e6, 2),
         "tile_mxu_ns_per_row": round(t_m / stream * 1e9, 2),
         "speedup": round(t_x / t_m, 3),
+        "sort_gather_us": round(t_s * 1e6, 2),
         "noop_floor_us": round(t_0 * 1e6, 2),
         "spill_frac": round(spill, 4),
         "max_rel_err": err / max(scale, 1e-9),
