@@ -78,9 +78,18 @@ class CheckpointManager:
             # a different grid padding (e.g. trained on an 8-device mesh,
             # restored for single-device eval). Logical rows are always a
             # common prefix — padding rows are scatter sinks stripped at
-            # use — so restore template-free and prefix-copy into the
-            # requested layout.
-            raw = self._ckptr.restore(path)
+            # use — so restore at the STORED shapes and prefix-copy into
+            # the requested layout. Abstract ShapeDtypeStruct templates
+            # (from the checkpoint metadata) make orbax place the arrays
+            # on the CURRENT devices — a bare template-free restore would
+            # try to rebuild the saving run's device mesh and fail when
+            # the topology differs (8-device train → 1-device eval).
+            stored = self._ckptr.metadata(path).item_metadata.tree
+            shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            tmpl = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                               sharding=shard), stored)
+            raw = self._ckptr.restore(path, tmpl)
 
             def fit(tmpl, arr):
                 arr = np.asarray(arr)

@@ -466,15 +466,27 @@ def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
     return out
 
 
+@jax.jit
+def _nonfinite_total(params):
+    return sum(jnp.sum(~jnp.isfinite(t)) for t in params.values())
+
+
 def guard_finite_params(params) -> None:
     """Refuse to rank with non-finite embeddings: NaN scores compare False
     against everything, so a diverged model would silently report a
-    PERFECT Hits@10 of 1.0 (every rank 0). Fail loudly instead."""
-    for name, table in params.items():
-        if not bool(jnp.all(jnp.isfinite(table))):
-            raise ValueError(
-                f"param table {name!r} contains non-finite values — "
-                "training diverged (lower alpha?); refusing to evaluate")
+    PERFECT Hits@10 of 1.0 (every rank 0). Fail loudly instead.
+
+    ONE fused reduction + ONE host pull for the whole pytree: the r2
+    per-table loop cost one ~25 ms tunnel round trip per table and was
+    the bulk of the r1→r3 eval-throughput 'regression' (BASELINE §5 —
+    ~54 ms on TransE's 2 tables, ~94 ms on TransD's 4). The offending
+    table is only named on the rare failure path."""
+    if int(_nonfinite_total(dict(params))):
+        for name, table in params.items():
+            if not bool(jnp.all(jnp.isfinite(table))):
+                raise ValueError(
+                    f"param table {name!r} contains non-finite values — "
+                    "training diverged (lower alpha?); refusing to evaluate")
 
 
 def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
