@@ -112,6 +112,12 @@ class Config:
     #   (a2a payloads); accumulation stays float32 at the receiver.
     #   bfloat16 halves exchange traffic (the scaling-efficiency lever,
     #   BASELINE.md); set "float32" for bit-parity with the psum step
+    exchange_ici_wire_dtype: str = "float32"  # hierarchical step only:
+    #   dtype of the stage-1 (intra-host ICI) update route. float32
+    #   (default) keeps ONE quantization point (the DCN hop); bfloat16
+    #   halves the hier step's ICI bytes — its predicted bottleneck at
+    #   8 devices (BASELINE.md §6) — at the cost of double quantization
+    #   of update rows (ICI bf16 → f32 relay aggregation → DCN bf16)
     exchange_dedup: str = "gather"   # "gather" (default): route each
     #   DISTINCT row id once per gather exchange (sort+rank on device,
     #   cheap); "both": also pre-aggregate duplicate update rows before
@@ -143,6 +149,10 @@ class Config:
         if self.exchange_wire_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"unknown exchange_wire_dtype {self.exchange_wire_dtype!r}")
+        if self.exchange_ici_wire_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown exchange_ici_wire_dtype "
+                f"{self.exchange_ici_wire_dtype!r}")
         if self.exchange_dedup not in ("gather", "both", "off"):
             raise ValueError(
                 f"unknown exchange_dedup {self.exchange_dedup!r}")

@@ -27,8 +27,10 @@ stages through a **relay** device:
   owner serves rows locally → rows return over DCN once per requesting
   host → relay fans them back out over ICI. DCN row traffic per step =
   host-unique remote rows, ~L× less than the flat grid's.
-- **Update**: merged (id, row-grad) streams ICI-route to relays (f32 —
-  ICI is cheap, and this keeps a single quantization point), relay
+- **Update**: merged (id, row-grad) streams ICI-route to relays
+  (``exchange_ici_wire_dtype``: f32 default keeps a single quantization
+  point; bfloat16 halves the step's ICI bytes — its predicted bottleneck
+  at 8 devices — at the cost of double quantization), relay
   **aggregates duplicates across the host** (segment-sum), aggregated
   rows cross DCN once per source host in ``exchange_wire_dtype`` and are
   applied by the owner. Each update row crosses DCN once per *host*
@@ -138,6 +140,7 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
     opt = make_optimizer(cfg)
     slack = cfg.exchange_slack
     wire_dt = jnp.dtype(cfg.exchange_wire_dtype)
+    ici_dt = jnp.dtype(cfg.exchange_ici_wire_dtype)
     dedup_gather = cfg.exchange_dedup in ("gather", "both")
     dedup_update = cfg.exchange_dedup == "both"
 
@@ -316,7 +319,8 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
                     valid = jnp.ones(uid.shape, bool)
                     exp1 = None
 
-                # stage 1 (ICI, f32 — single quantization point at DCN):
+                # stage 1 (ICI; cfg.exchange_ici_wire_dtype — f32 default
+                # keeps the DCN hop as the single quantization point):
                 # route (id, grad) to the relay
                 relay = (uid // lp) % L
                 cap1 = capacity_for(uid.shape[0], L, slack, expected=exp1)
@@ -324,8 +328,8 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
                                                 owner=relay)
                 b_ids, b_g = _scatter_pairs(uid, ug, slot1, L * cap1, sent)
                 rid = _a2a(b_ids.reshape(L, cap1), LOCAL).reshape(-1)
-                rg = _a2a(b_g.reshape(L, cap1, -1), LOCAL).reshape(
-                    -1, ug.shape[1])
+                rg = _a2a(b_g.astype(ici_dt).reshape(L, cap1, -1),
+                          LOCAL).reshape(-1, ug.shape[1]).astype(ug.dtype)
 
                 # relay: aggregate the host's duplicate rows, then one DCN
                 # hop straight to the owning device

@@ -174,3 +174,23 @@ def test_hier_dcn_bytes_drop_vs_flat(kg_big):
     assert b_hier["wire_dcn"] * 2.5 <= b_flat["wire_dcn"], (b_flat, b_hier)
     assert b_hier["wire_dcn"] > 0          # it does cross hosts
     assert b_hier["wire_ici"] > 0          # relay hops ride ICI
+
+
+def test_hier_ici_bf16_stage1_close_to_f32(kg_big):
+    """exchange_ici_wire_dtype=bfloat16 quantizes the stage-1 (intra-host)
+    update route; after 3 SGD steps the tables must track the f32 run at
+    bf16 resolution (same bound family as the flat step's bf16-wire test)
+    and the ICI collective bytes must drop."""
+    ds, idx = kg_big
+    (_, pf, _) = run_pair(ds, idx, (2, 2, 2), batch=64)[1]
+    (_, pb, _) = run_pair(ds, idx, (2, 2, 2), batch=64,
+                          exchange_ici_wire_dtype="bfloat16")[1]
+    from test_exchange import LR, STEPS
+    for k in pf:
+        diff = np.abs(pf[k] - pb[k])
+        rows, dim = pf[k].shape[0], pf[k].size // pf[k].shape[0]
+        row_cap = max(2, int(0.01 * rows))
+        tol = 0.02 * np.abs(pf[k]) + 0.01
+        frac_out = float(np.mean(diff > tol))
+        assert frac_out <= row_cap * dim / diff.size + 0.01, (k, frac_out)
+        assert float(diff.max()) <= 2.0 * STEPS * LR, (k, float(diff.max()))

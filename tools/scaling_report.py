@@ -64,6 +64,9 @@ def main():
                     help="ICI-domain size used for link classification")
     ap.add_argument("--link-model", default="pipelined",
                     choices=["pipelined", "serial"])
+    ap.add_argument("--ici-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="hier stage-1 (ICI) update wire dtype")
     args = ap.parse_args()
 
     from openkeonspark_tpu.config import Config
@@ -83,7 +86,8 @@ def main():
     ds = random_kg(n_ent=args.n_ent, n_rel=237, n_triples=20000,
                    n_valid=100, n_test=100, seed=7)
     cfg = Config(model="transe", hidden_size=args.d, negative_ent=1,
-                 sharded_step=args.step)
+                 sharded_step=args.step,
+                 exchange_ici_wire_dtype=args.ici_dtype)
     model = get_model(cfg.model)
     sampler = DeviceSampler.build(ds, build_kg_index(ds, for_eval=False))
 
