@@ -53,6 +53,9 @@ SPECS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="transe,transh,transr,transd")
+    ap.add_argument("--epochs-scale", type=float, default=1.0,
+                    help="multiply each spec's train_times (recovery-vs-"
+                         "budget experiments)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -68,6 +71,9 @@ def main():
         ds, hidden = planted_kg(n_valid=2000, n_test=5000, noise=0.0,
                                 seed=1, model=name, head_frac=0.5,
                                 with_params=True, **kg_kw)
+        cfg_kw = dict(cfg_kw)
+        cfg_kw["train_times"] = int(cfg_kw["train_times"]
+                                    * args.epochs_scale)
         cfg = Config(model=name, nbatches=100, **cfg_kw)
         t0 = time.time()
         res = train(cfg, ds, echo=lambda *a, **k: None)
