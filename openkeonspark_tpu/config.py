@@ -64,8 +64,9 @@ class Config:
     early_stop_patience: int = 5     # checks without improvement before stopping
     early_stop_min_delta: float = 0.0
     eval_chunk: Optional[int] = None  # test triples ranked per scanned
-    #   chunk; None = platform default (512 on TPU, 256 elsewhere —
-    #   measured sweet spots; the old fixed 256 left TPU eval ~25% slow)
+    #   chunk; None = platform/model default (TPU: 256 for the generic/
+    #   kernel eval paths, 512 for the relation-grouped transh/transr;
+    #   256 elsewhere — r4 pinned-protocol sweeps, BASELINE.md §5)
     eval_block: int = 1024           # candidate entities per scoring block
     eval_group_elems: int = 1 << 25  # known-matrix elements per dispatch
     #   group (queries × k_max); bounds host/device memory for huge splits
