@@ -112,7 +112,10 @@ class Config:
     exchange_wire_dtype: str = "bfloat16"  # dtype of rows/grads ON THE WIRE
     #   (a2a payloads); accumulation stays float32 at the receiver.
     #   bfloat16 halves exchange traffic (the scaling-efficiency lever,
-    #   BASELINE.md); set "float32" for bit-parity with the psum step
+    #   BASELINE.md); set "float32" for bit-parity with the psum step.
+    #   "float8_e4m3fn" halves it AGAIN (~12.5% per-element resolution,
+    #   ~1% on d=200 score sums) — an opt-in for DCN-bound meshes; its
+    #   quality envelope is bounded by tests/test_exchange.py's fp8 test
     exchange_ici_wire_dtype: str = "float32"  # hierarchical step only:
     #   dtype of the stage-1 (intra-host ICI) update route. float32
     #   (default) keeps ONE quantization point (the DCN hop); bfloat16
@@ -147,10 +150,11 @@ class Config:
             raise ValueError(f"unknown sharded_step {self.sharded_step!r}")
         if self.exchange_microbatches < 1:
             raise ValueError("exchange_microbatches must be >= 1")
-        if self.exchange_wire_dtype not in ("float32", "bfloat16"):
+        wire_dts = ("float32", "bfloat16", "float8_e4m3fn")
+        if self.exchange_wire_dtype not in wire_dts:
             raise ValueError(
                 f"unknown exchange_wire_dtype {self.exchange_wire_dtype!r}")
-        if self.exchange_ici_wire_dtype not in ("float32", "bfloat16"):
+        if self.exchange_ici_wire_dtype not in wire_dts:
             raise ValueError(
                 f"unknown exchange_ici_wire_dtype "
                 f"{self.exchange_ici_wire_dtype!r}")

@@ -354,3 +354,43 @@ def test_exchange_wire_bytes_scale_free(kg_big):
         wires[shape] = w * n / (n - 1)     # normalize the locality factor
     assert wires[(2, 4)] <= 1.3 * wires[(1, 2)], wires
     assert wires[(2, 2)] <= 1.3 * wires[(1, 2)], wires
+
+
+def test_exchange_fp8_wire_quality(kg_big):
+    """Opt-in float8_e4m3fn wire format (halves DCN/ICI traffic again
+    over bf16): param trajectories legitimately decorrelate (quantized
+    hinge toggles compound — same class as the Adam soak's analysis), so
+    the invariants are the loss CURVE and the final eval metrics, not
+    param closeness. Measured at this shape: tail-mean loss within 0.9%
+    of the f32-wire run."""
+    ds, idx = kg_big
+    import jax.numpy as jnp
+    from openkeonspark_tpu.eval.link_prediction import link_prediction
+    curves, finals = {}, {}
+    for wd in ("float32", "float8_e4m3fn"):
+        cfg, model, sampler, state = setup(ds, idx,
+                                           exchange_wire_dtype=wd, pad=8)
+        mesh = make_mesh((4, 2))
+        ss = shard_sampler(sampler, mesh)
+        step = jax.jit(build_exchange_train_step(model, cfg, ss, 64, mesh))
+        st = shard_state(state, mesh, flat=True)
+        c = []
+        for i in range(40):
+            st, loss = step(st, ss, jax.random.key(i))
+            c.append(float(loss))
+        curves[wd] = np.array(c)
+        specs = model.tables(cfg, ds.n_ent, ds.n_rel)
+        finals[wd] = strip_padding(st.params, specs)
+    f, q = curves["float32"], curves["float8_e4m3fn"]
+    assert np.isfinite(q).all()
+    win = np.ones(10) / 10
+    np.testing.assert_allclose(np.convolve(q[10:], win, "valid"),
+                               np.convolve(f[10:], win, "valid"), rtol=0.06)
+    assert abs(q[-10:].mean() - f[-10:].mean()) <= 0.03 * f[-10:].mean()
+    idx_eval = build_kg_index(ds, for_eval=True)
+    cfg_eval = Config(model="transe", hidden_size=16)
+    lpa, lpb = (link_prediction({k: jnp.asarray(v) for k, v in p.items()},
+                                cfg_eval, ds, idx_eval, triples=ds.test)
+                for p in (finals["float32"], finals["float8_e4m3fn"]))
+    assert abs(lpb.filt_avg.mr - lpa.filt_avg.mr) < 0.15 * lpa.filt_avg.mr
+    assert abs(lpb.filt_avg.hits10 - lpa.filt_avg.hits10) <= 0.1

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--ici-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="hier stage-1 (ICI) update wire dtype")
+    ap.add_argument("--wire-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "float8_e4m3fn"],
+                    help="exchange wire dtype (a2a payloads)")
     args = ap.parse_args()
 
     from openkeonspark_tpu.config import Config
@@ -87,6 +90,7 @@ def main():
                    n_valid=100, n_test=100, seed=7)
     cfg = Config(model="transe", hidden_size=args.d, negative_ent=1,
                  sharded_step=args.step,
+                 exchange_wire_dtype=args.wire_dtype,
                  exchange_ici_wire_dtype=args.ici_dtype)
     model = get_model(cfg.model)
     sampler = DeviceSampler.build(ds, build_kg_index(ds, for_eval=False))
