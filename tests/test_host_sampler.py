@@ -190,3 +190,22 @@ def test_host_pipeline_niche_store_exceeding_hbm_budget():
     assert losses[-1] < 0.5 * losses[0], losses
     import numpy as np
     assert np.isfinite(losses).all()
+
+
+def test_native_sampler_tsan_clean():
+    """ThreadSanitizer proof of the design-by-disjointness claim
+    (SURVEY.md §5 "Race detection"): the sampler TU compiled INTO an
+    instrumented driver (a tsan .so cannot dlopen into uninstrumented
+    python) and hammered with 8 threads × 200 batches over shared output
+    buffers. Any data race makes TSan abort the run (nonzero exit)."""
+    import subprocess
+    r = subprocess.run(["make", "-C", _netdir(), "tsan-check"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "tsan driver OK" in r.stdout
+
+
+def _netdir():
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
