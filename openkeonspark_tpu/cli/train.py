@@ -127,9 +127,25 @@ def run(cfg: Config, echo=print) -> dict:
                 if hshape else "")
              + f") step={kind}")
 
+    # early-stop validation on a mesh goes through the sharded triple
+    # scorer (triples over 'data', rows via masked-take+psum over 'model')
+    # — the single-device scorer would pull sharded rows through auto-SPMD
+    # gathers and cannot run at all once tables exceed one device
+    valid_fn = None
+    if step_builder is not None and cfg.valid_every and ds.valid is not None \
+            and len(ds.valid):
+        from openkeonspark_tpu.eval.classification import fit_thresholds
+        from openkeonspark_tpu.parallel.eval import ShardedTripleScorer
+        scorer = ShardedTripleScorer(cfg, mesh)
+
+        def valid_fn(st):
+            _, acc = fit_thresholds(st.params, cfg, ds, index,
+                                    seed=cfg.seed + 1, score_fn=scorer)
+            return acc
+
     result = train(cfg, ds, index=index, state=state,
                    step_builder=step_builder, checkpoint_dir=out_dir,
-                   echo=echo)
+                   valid_fn=valid_fn, echo=echo)
     state = result.state
 
     # export embeddings (reference Config.save_parameters → vec.json)

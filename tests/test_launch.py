@@ -156,7 +156,7 @@ def test_two_process_hierarchical_exchange(tmp_path):
              "--model", "transe", "--hidden_size", "8",
              "--alpha", "0.1", "--margin", "1.0",
              "--train_times", "2", "--nbatches", "5",
-             "--negative_ent", "1"],
+             "--negative_ent", "1", "--valid_every", "1"],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=420)[0] for p in procs]
@@ -165,3 +165,5 @@ def test_two_process_hierarchical_exchange(tmp_path):
     assert "step=hier" in outs[0], outs[0][-2000:]
     assert "2 hosts" in outs[0], outs[0][-2000:]
     assert "epoch=1" in outs[0], outs[0][-2000:]
+    # early-stop validation went through the sharded triple scorer
+    assert "valid_accuracy" in outs[0], outs[0][-2000:]
