@@ -156,7 +156,8 @@ def test_two_process_hierarchical_exchange(tmp_path):
              "--model", "transe", "--hidden_size", "8",
              "--alpha", "0.1", "--margin", "1.0",
              "--train_times", "2", "--nbatches", "5",
-             "--negative_ent", "1", "--valid_every", "1"],
+             "--negative_ent", "1", "--valid_every", "1",
+             "--test_link_prediction"],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=420)[0] for p in procs]
@@ -167,3 +168,6 @@ def test_two_process_hierarchical_exchange(tmp_path):
     assert "epoch=1" in outs[0], outs[0][-2000:]
     # early-stop validation went through the sharded triple scorer
     assert "valid_accuracy" in outs[0], outs[0][-2000:]
+    # end-of-training evaluation ran SHARDED across the two processes
+    assert "sharded link-pred tail done" in outs[0], outs[0][-2000:]
+    assert "averaged(filter)" in outs[0], outs[0][-2000:]
