@@ -194,10 +194,11 @@ def test_bilinear_models_shard_like_single_device(kg, model_name):
                                    err_msg=f"{model_name}/{k}")
 
 
-def test_sharded_type_constrained_matches_single_device(kg):
+@pytest.mark.parametrize("model_name", ["transe", "transh"])
+def test_sharded_type_constrained_matches_single_device(kg, model_name):
     """Type-constrained ranks with the mask sharded over 'model' along the
     entity axis must equal the single-device dense-mask evaluator exactly
-    (VERDICT r3 next #6)."""
+    (VERDICT r3 next #6) — incl. a projection model (TransH)."""
     from openkeonspark_tpu.data.index import build_kg_index
     from openkeonspark_tpu.data.type_constrain import build_type_constraints
     from openkeonspark_tpu.eval import type_constrained_link_prediction
@@ -207,7 +208,7 @@ def test_sharded_type_constrained_matches_single_device(kg):
     ds, _ = kg
     idx = build_kg_index(ds, for_eval=True)
     tc = build_type_constraints(ds)
-    cfg = Config(model="transe", hidden_size=16, eval_chunk=8,
+    cfg = Config(model=model_name, hidden_size=16, eval_chunk=8,
                  eval_block=32, use_pallas_eval=False)
     model = get_model(cfg.model)
     state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(8),
