@@ -108,3 +108,42 @@ def test_cli_auto_resume_matches_uninterrupted(tmp_path):
     for k in a:
         np.testing.assert_array_equal(np.array(a[k]), np.array(b[k]),
                                       err_msg=k)
+
+
+def test_cli_incremental_batches_on_mesh(tmp_path):
+    """Incremental batch-folder training chained through MESH runs: batch 0
+    trains on an 8-device exchange grid, batch 1 warm-starts from batch
+    0's checkpoint (vocab growth handled) and keeps training sharded —
+    the reference's incremental mode composed with the TPU-native
+    distribution layer."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from split_incremental import split_incremental
+    from openkeonspark_tpu.cli.args import build_parser, config_from_args
+    from openkeonspark_tpu.cli.train import run
+
+    ds = random_kg(n_ent=120, n_rel=5, n_triples=1200, n_valid=40,
+                   n_test=40, seed=8)
+    for i, snap in split_incremental(ds, 2, seed=3):
+        save_dataset(snap, str(tmp_path / "kg" / str(i)))
+
+    outs = {}
+    for bn in (0, 1):
+        argv = ["--input", str(tmp_path / "kg"), "--output",
+                str(tmp_path / "out"), "--batch_number", str(bn),
+                "--model", "transe", "--hidden_size", "16",
+                "--alpha", "0.05", "--train_times", "2", "--nbatches", "6",
+                "--negative_ent", "1", "--mesh_data", "4",
+                "--mesh_model", "2", "--eval_chunk", "8",
+                "--eval_block", "32"]
+        args = build_parser("t").parse_args(argv)
+        cfg = config_from_args(args)
+        object.__setattr__(cfg, "export_format", args.export_format)
+        msgs = []
+        outs[bn] = run(cfg, echo=msgs.append)
+        if bn == 1:
+            assert any("warm start" in str(m) for m in msgs), msgs
+        assert any("step=exchange" in str(m) for m in msgs), msgs
+    # batch 1 continued the global step counter across the chain
+    assert outs[1]["steps"] > outs[0]["steps"]
