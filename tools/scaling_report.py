@@ -40,15 +40,21 @@ import argparse
 import json
 import sys
 
+import sys as _s
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+_n_dev = 8
+if "--devices" in _s.argv:
+    _n_dev = int(_s.argv[_s.argv.index("--devices") + 1])
+jax.config.update("jax_num_cpu_devices", _n_dev)
 
 # 2-tuples = flat exchange; 3-tuples = hierarchical (host, data, model).
 # (2,2,2) and (2,1,4) are the two 8-device 2-host factorizations of
-# chips_per_host=4 hosts.
-MESHES = [(1, 1), (2, 1), (2, 2), (4, 2), (2, 4), (2, 2, 2), (2, 1, 4)]
+# chips_per_host=4 hosts; the 16-device shapes (4 hosts) need --devices 16.
+MESHES = [(1, 1), (2, 1), (2, 2), (4, 2), (2, 4), (2, 2, 2), (2, 1, 4),
+          (4, 2, 2), (8, 2), (2, 2, 4)]
 
 
 def main():
@@ -70,6 +76,9 @@ def main():
     ap.add_argument("--wire-dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "float8_e4m3fn"],
                     help="exchange wire dtype (a2a payloads)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU devices (16 unlocks the 4-host "
+                         "meshes); parsed before jax init")
     args = ap.parse_args()
 
     from openkeonspark_tpu.config import Config
