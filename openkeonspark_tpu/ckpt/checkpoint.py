@@ -61,9 +61,19 @@ class CheckpointManager:
             json.dump({"step": int(step), **(extra or {})}, f)
         self._gc()
 
-    def restore(self, state, step: Optional[int] = None):
+    def restore(self, state, step: Optional[int] = None,
+                logical_rows: Optional[Dict[str, int]] = None):
         """Restore into the (abstract or concrete) TrainState template;
-        returns (state, manifest dict)."""
+        returns (state, manifest dict).
+
+        ``logical_rows`` (table name → logical row count, from
+        ``model.tables(cfg, n_ent, n_rel)``) guards the padding-mismatch
+        fallback: a stored table whose leading dim does not cover the
+        template's logical rows is a *vocabulary* mismatch (e.g. a newer
+        dataset with more entities) and re-raises instead of silently
+        zero-filling the extra rows (r4 advisor) — vocabulary growth goes
+        through :func:`warm_start_from`, which copies old rows and keeps
+        the fresh init for new ones."""
         if step is None:
             step = latest_step(self.directory)
             if step is None:
@@ -91,17 +101,36 @@ class CheckpointManager:
                                                sharding=shard), stored)
             raw = self._ckptr.restore(path, tmpl)
 
-            def fit(tmpl, arr):
+            def fit(tmpl_, arr, name=None):
                 arr = np.asarray(arr)
-                shape = getattr(tmpl, "shape", arr.shape)
+                shape = getattr(tmpl_, "shape", arr.shape)
                 if tuple(shape) == arr.shape or arr.ndim == 0:
                     return arr
+                need = (logical_rows or {}).get(name)
+                if need is not None and arr.shape[0] < need:
+                    raise ValueError(
+                        f"checkpoint table {name!r} holds {arr.shape[0]} "
+                        f"rows but the template needs {need} logical rows "
+                        f"— a vocabulary mismatch, not grid padding; use "
+                        f"warm_start_from for incremental vocab growth")
+                if need is None and shape[0] > arr.shape[0]:
+                    print(f"[ckpt] note: extending {name or 'array'} "
+                          f"{arr.shape[0]} -> {shape[0]} rows (assumed "
+                          f"grid-padding difference; extra rows zero)")
                 out = np.zeros(shape, arr.dtype)
                 n = min(shape[0], arr.shape[0])
                 out[:n] = arr[:n]
                 return out
 
-            restored = jax.tree_util.tree_map(fit, tree, raw)
+            restored = {
+                "params": {k: fit(tree["params"][k], raw["params"][k], k)
+                           for k in tree["params"]},
+                "opt_state": {s: {k: fit(tree["opt_state"][s][k],
+                                         raw["opt_state"][s][k], k)
+                                  for k in tree["opt_state"][s]}
+                              for s in tree["opt_state"]},
+                "step": fit(tree["step"], raw["step"]),
+            }
         manifest_path = os.path.join(self.directory, f"manifest_{step}.json")
         manifest = {}
         if os.path.exists(manifest_path):

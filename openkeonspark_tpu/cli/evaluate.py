@@ -47,7 +47,10 @@ def main(argv=None):
     state = init_state(model, cfg, ds.n_ent, ds.n_rel,
                        jax.random.key(cfg.seed),
                        pad_to_multiple=max(1, grid))
-    state, manifest = CheckpointManager(args.checkpoint).restore(state)
+    logical = {n: s.rows for n, s in
+               model.tables(cfg, ds.n_ent, ds.n_rel).items()}
+    state, manifest = CheckpointManager(args.checkpoint).restore(
+        state, logical_rows=logical)
     print(f"restored step {int(state.step)} from {args.checkpoint}")
 
     # multi-device evaluation when a mesh is configured: candidate axis

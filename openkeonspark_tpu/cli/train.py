@@ -68,7 +68,10 @@ def run(cfg: Config, echo=print) -> dict:
                                         warm_start_from, warm_start_path)
     ls = latest_step(out_dir) if out_dir else None
     if ls is not None:
-        state, _ = CheckpointManager(out_dir).restore(state, step=ls)
+        logical = {n: s.rows for n, s in
+                   model.tables(cfg, ds.n_ent, ds.n_rel).items()}
+        state, _ = CheckpointManager(out_dir).restore(
+            state, step=ls, logical_rows=logical)
         resumed = int(state.step)
         # epochs completed IN THIS RUN: global step minus the warm-start
         # baseline (incremental batches carry the step counter across)

@@ -122,6 +122,18 @@ class Config:
     #   halves the hier step's ICI bytes — its predicted bottleneck at
     #   8 devices (BASELINE.md §6) — at the cost of double quantization
     #   of update rows (ICI bf16 → f32 relay aggregation → DCN bf16)
+    exchange_hot_rows: int = 0       # replicate the top-K highest-degree
+    #   entity rows grid-wide (parallel/hot.py): gathers of hot ids become
+    #   local cache reads, their gradients one dense psum (ICI-reduced,
+    #   one DCN crossing per host) — the numerics-exact cross-host lever
+    #   that clears the 80% target at 4 DCN hosts (BASELINE.md §6).
+    #   Requires exchange_capacity='stats'; 0 disables. Hierarchical
+    #   (host,data,model) meshes only
+    exchange_capacity: str = "uniform"  # owner-bucket capacity model:
+    #   "uniform" (birthday estimate over uniform ids — the r2–r4
+    #   behavior) | "stats" (sized from the dataset's measured degree
+    #   tables: slack × max expected bucket load; honest about Zipf +
+    #   placement skew, tighter where uniform was loose — parallel/hot.py)
     exchange_dedup: str = "gather"   # "gather" (default): route each
     #   DISTINCT row id once per gather exchange (sort+rank on device,
     #   cheap); "both": also pre-aggregate duplicate update rows before
@@ -161,6 +173,15 @@ class Config:
         if self.exchange_dedup not in ("gather", "both", "off"):
             raise ValueError(
                 f"unknown exchange_dedup {self.exchange_dedup!r}")
+        if self.exchange_capacity not in ("uniform", "stats"):
+            raise ValueError(
+                f"unknown exchange_capacity {self.exchange_capacity!r}")
+        if self.exchange_hot_rows < 0:
+            raise ValueError("exchange_hot_rows must be >= 0")
+        if self.exchange_hot_rows and self.exchange_capacity != "stats":
+            raise ValueError("exchange_hot_rows requires "
+                             "exchange_capacity='stats' (capacities must "
+                             "account for the absorbed hot mass)")
         if self.chips_per_host is not None and self.chips_per_host < 1:
             raise ValueError("chips_per_host must be >= 1")
 

@@ -6,3 +6,4 @@ from openkeonspark_tpu.parallel.exchange import (  # noqa: F401
     build_exchange_train_step, build_train_step_for,
     make_exchange_step_builder)
 from openkeonspark_tpu.parallel.hier import build_hier_train_step  # noqa: F401
+from openkeonspark_tpu.parallel.hot import sync_hot_cache  # noqa: F401

@@ -180,6 +180,11 @@ def _parse_groups(line: str):
         return [[int(x) for x in grp.split(",") if x.strip()]
                 for grp in re.findall(r"\{([\d,\s]*)\}", g[1:-1])]
     m2 = re.match(r"\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?", g)
+    if m2 is None:
+        # an iota variant _GROUPS_RE admits but the inner pattern does
+        # not: degrade to the no-annotation estimate instead of crashing
+        # the byte accounting (r4 advisor)
+        return None
     import numpy as np
     G, S = int(m2.group(1)), int(m2.group(2))
     dims = [int(x) for x in m2.group(3).split(",")]
@@ -199,9 +204,12 @@ def _dcn_share(kind: str, payload: int, groups, chips_per_host: int) -> float:
     Models (stated for the judge; payload is per-device as counted by
     :func:`hlo_collective_bytes`):
     - all-to-all: a device's DCN bytes = payload · (remote peers)/G —
-      exactly the slices addressed to other hosts.
-    - all-gather: a device must receive every remote shard once:
-      payload · remote/G (send side is symmetric).
+      exactly the slices addressed to other hosts (slices are
+      destination-specific, so no hierarchical saving exists).
+    - all-gather: hierarchical (gather remote shards across hosts once
+      per host, broadcast intra-host over ICI — the same topology-optimal
+      convention the all-reduce row uses): per-host crossing
+      payload·(H_g−1)/H_g, divided over the host's members.
     - all-reduce: hierarchical (reduce intra-host, ring across H_g hosts,
       broadcast intra-host): per-host crossing 2·payload·(H_g−1)/H_g,
       divided over the host's members in the group.
@@ -221,8 +229,10 @@ def _dcn_share(kind: str, payload: int, groups, chips_per_host: int) -> float:
             remote = gsz - same
             if remote == 0:
                 d = 0.0
-            elif kind == "all-to-all" or kind == "all-gather":
+            elif kind == "all-to-all":
                 d = payload * remote / gsz
+            elif kind == "all-gather":
+                d = payload * (nb - 1) / nb / same
             elif kind == "all-reduce":
                 d = 2.0 * payload * (nb - 1) / nb / same
             elif kind == "reduce-scatter":

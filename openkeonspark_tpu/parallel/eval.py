@@ -45,6 +45,14 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _drop_hot(params):
+    """Evaluation reads the authoritative sharded tables only — the
+    replicated ``#hot`` companions (parallel/hot.py, kept coherent by the
+    hier step's owner mirror) are dropped so pspecs stay table-shaped."""
+    from openkeonspark_tpu.parallel.hot import is_hot_key
+    return {k: v for k, v in params.items() if not is_hot_key(k)}
+
+
 class ShardedRanker:
     """Jitted, cached fused rank programs for one (cfg, mesh): each
     program scans every chunk, sharding queries over 'data' and the
@@ -194,6 +202,7 @@ def sharded_link_prediction(params, cfg: Config, ds, index, mesh: Mesh,
     if triples is None:
         triples = ds.test
     assert index.hr_all is not None and index.tr_all is not None
+    params = _drop_hot(params)
     guard_finite_params(params)
     D = mesh.shape[DATA]
     chunk = cfg.eval_chunk_size * D
@@ -257,6 +266,7 @@ def sharded_type_constrained_link_prediction(params, cfg: Config, ds, index,
     if triples is None:
         triples = ds.test
     assert index.hr_all is not None and index.tr_all is not None
+    params = _drop_hot(params)
     guard_finite_params(params)
     D = mesh.shape[DATA]
     M = mesh.shape[MODEL]
@@ -314,65 +324,79 @@ def sharded_type_constrained_link_prediction(params, cfg: Config, ds, index,
 
 
 class ShardedTripleScorer:
-    """Score explicit (h, t, r) id triples against row-sharded tables:
-    triples shard over 'data', each slot's rows come via masked-take +
-    psum over 'model', scoring arithmetic is the model's ordinary
-    ``score(slots)`` — bitwise the values of ``score_triples`` on dense
-    tables. Backs the sharded classification-threshold path
-    (VERDICT r3 next #6)."""
+    """Score explicit (h, t, r) id triples against row-sharded tables,
+    using the FLAT training layout: tables row-sharded over ALL mesh axes
+    (the exchange/hier steps' ``shard_state(..., flat=True)`` placement),
+    each slot's rows via masked-take + psum over the full axis tuple —
+    mirroring hier.py's take, so validation during sharded training
+    reuses the training sharding with NO resharding (the r4 advisor found
+    the old P('model') spec replicated every table across the host/data
+    axes on each call, data-degree× per-device memory — defeating the
+    scorer at exactly the table scales that motivated it). Triples are
+    replicated (the valid split is small); scoring arithmetic is the
+    model's ordinary ``score(slots)`` — bitwise the values of
+    ``score_triples`` on dense tables. Backs the sharded
+    classification-threshold path (VERDICT r3 next #6)."""
 
     def __init__(self, cfg: Config, mesh: Mesh):
-        from openkeonspark_tpu.models.base import get_model
         self.cfg = cfg
         self.mesh = mesh
-        self.D = mesh.shape[DATA]
-        model = get_model(cfg.model)
-        cfg_ = cfg
+        self._mapped = None
 
-        def body(params, h, t, r):
-            m_idx = jax.lax.axis_index(MODEL)
+    def _build(self, params):
+        from openkeonspark_tpu.models.base import get_model
+        model = get_model(self.cfg.model)
+        cfg_ = self.cfg
+        grid = 1
+        for s in self.mesh.shape.values():
+            grid *= s
+        # flat layout when every table divides over the full grid (the
+        # exchange/hier contract); legacy 'model'-only rows otherwise
+        flat = all(v.shape[0] % grid == 0 for v in params.values()
+                   if getattr(v, "ndim", 0) == 2)
+        axes = tuple(self.mesh.axis_names) if flat else (MODEL,)
+
+        def body(params_, h, t, r):
+            n_idx = jnp.zeros((), jnp.int32)
+            for ax in axes:
+                n_idx = n_idx * jax.lax.axis_size(ax) \
+                    + jax.lax.axis_index(ax)
 
             def take(table, ids):
                 lp = table.shape[0]
-                lid = ids - m_idx * lp
+                lid = ids - n_idx * lp
                 ok = (lid >= 0) & (lid < lp)
                 rows = jnp.take(table, jnp.clip(lid, 0, lp - 1), 0)
                 return jax.lax.psum(jnp.where(ok[..., None], rows, 0),
-                                    MODEL)
+                                    axes)
 
             anchors = {"h": h, "t": t, "r": r}
-            slots = {slot: take(params[table], anchors[anchor])
+            slots = {slot: take(params_[table], anchors[anchor])
                      for slot, table, anchor in model.gathers()}
             return model.score(slots, cfg_)
 
-        pspecs_fn = lambda params: {name: P(MODEL, None) for name in params}
-        self._mapped = None
-        self._body = body
-        self._pspecs_fn = pspecs_fn
+        pspecs = {name: P(axes, None) for name in params}
+        return jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(pspecs, P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        ))
 
     def __call__(self, params, triples: np.ndarray,
                  batch: int = 65536) -> np.ndarray:
         from openkeonspark_tpu.data.dataset import H, R, T
+        params = _drop_hot(params)
         if self._mapped is None:
-            self._mapped = jax.jit(shard_map(
-                self._body, mesh=self.mesh,
-                in_specs=(self._pspecs_fn(params), P(DATA), P(DATA),
-                          P(DATA)),
-                out_specs=P(DATA),
-                check_vma=False,
-            ))
+            self._mapped = self._build(params)
         outs = []
-        step = batch * self.D
-        for s in range(0, len(triples), step):
-            e = min(s + step, len(triples))
-            m = e - s
-            pad = (-m) % self.D
-            chunk = np.concatenate([triples[s:e],
-                                    triples[s:s + 1].repeat(pad, 0)])
+        for s in range(0, len(triples), batch):
+            e = min(s + batch, len(triples))
+            chunk = triples[s:e]
             sc = np.asarray(self._mapped(params,
                                          jnp.asarray(chunk[:, H]),
                                          jnp.asarray(chunk[:, T]),
                                          jnp.asarray(chunk[:, R])))
-            outs.append(sc[:m])
+            outs.append(sc)
         return (np.concatenate(outs) if outs
                 else np.empty(0, np.float32))

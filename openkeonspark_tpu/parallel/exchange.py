@@ -345,6 +345,18 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
     dedup_gather = cfg.exchange_dedup in ("gather", "both")
     dedup_update = cfg.exchange_dedup == "both"
 
+    # frequency-aware owner-bucket capacities (parallel/hot.py): sized
+    # from the dataset's measured degree tables instead of the uniform
+    # birthday estimate. (Hot-row replication itself is hierarchical-mesh
+    # only — inside one ICI domain the routed path is already cheap.)
+    stats_caps: Dict[str, Dict[str, int]] = {}
+    if cfg.exchange_capacity == "stats":
+        from openkeonspark_tpu.parallel.hot import flat_stats_caps
+        lp_guess = -(-sampler.n_ent // n_grid)
+        if lp_guess * n_grid > SMALL_TABLE_ROWS:
+            stats_caps = flat_stats_caps(model, cfg, sampler, b_sub,
+                                         lp_guess, n_grid)
+
     def step(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
         d_idx = jax.lax.axis_index(DATA)
         m_idx = jax.lax.axis_index(MODEL)
@@ -395,10 +407,15 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
                 if dedup_gather:
                     uniq, u_idx = dedup_ids(ids, sentinel=rows_phys)
                     valid = uniq < rows_phys
-                    cap = capacity_for(
-                        uniq.shape[0], n_grid, slack,
-                        expected=expected_unique(ids.shape[0], rows_phys),
-                        local_rows=lp)
+                    if table in stats_caps:
+                        cap = max(8, min(stats_caps[table]["g"],
+                                         uniq.shape[0]))
+                    else:
+                        cap = capacity_for(
+                            uniq.shape[0], n_grid, slack,
+                            expected=expected_unique(ids.shape[0],
+                                                     rows_phys),
+                            local_rows=lp)
                     routed, slot, novf = _bucket(uniq, n_grid, cap, lp,
                                                  valid)
                     rows_u = _route_gather(local, uniq, routed, slot, n_idx,
@@ -469,13 +486,22 @@ def build_exchange_train_step(model: KGEModel, cfg: Config,
                     uid, ug = aggregate_duplicates(uid, ug,
                                                    sentinel=rows_phys)
                     valid = uid < rows_phys
-                    cap = capacity_for(
-                        uid.shape[0], n_grid, slack,
-                        expected=expected_unique(uid.shape[0], rows_phys),
-                        local_rows=lp)
+                    if table in stats_caps:
+                        cap = max(8, min(stats_caps[table]["u"],
+                                         uid.shape[0]))
+                    else:
+                        cap = capacity_for(
+                            uid.shape[0], n_grid, slack,
+                            expected=expected_unique(uid.shape[0],
+                                                     rows_phys),
+                            local_rows=lp)
                 else:
                     valid = jnp.ones(uid.shape, bool)
-                    cap = capacity_for(uid.shape[0], n_grid, slack)
+                    if table in stats_caps:
+                        cap = max(8, min(stats_caps[table]["u"],
+                                         uid.shape[0]))
+                    else:
+                        cap = capacity_for(uid.shape[0], n_grid, slack)
                 lid, rg, ovf_ids, novf = _route_update(
                     lp, uid, ug, valid, n_idx, n_grid, cap, wire_dt)
                 main_pairs.setdefault(table, []).append((lid, rg))

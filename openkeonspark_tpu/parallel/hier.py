@@ -67,9 +67,11 @@ from openkeonspark_tpu.parallel.mesh import DATA, HOST, MODEL
 from openkeonspark_tpu.parallel.exchange import (
     SMALL_TABLE_ROWS, _a2a, _bucket, _gather_fallback, _gather_plan,
     _sub_batch, capacity_for, dedup_ids, expected_unique)
+from openkeonspark_tpu.parallel.hot import HOT_SUFFIX, HotPlan
 from openkeonspark_tpu.parallel.sharded import _sampler_specs, _state_specs
 from openkeonspark_tpu.sampling.device import DeviceSampler
-from openkeonspark_tpu.train.optim import (Updates, aggregate_duplicates,
+from openkeonspark_tpu.train.optim import (DenseUpdate, Updates,
+                                           aggregate_duplicates,
                                            make_optimizer, scatter_add_rows)
 from openkeonspark_tpu.train.step import (TrainState, merged_row_updates,
                                           slot_loss_and_grads)
@@ -144,6 +146,31 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
     dedup_gather = cfg.exchange_dedup in ("gather", "both")
     dedup_update = cfg.exchange_dedup == "both"
 
+    # hot-row replication + frequency-aware capacities (parallel/hot.py):
+    # the plan is computed host-side at build from the dataset's degree
+    # tables. Entity tables are padded to the grid (shard_state contract),
+    # so the local row count is known before tracing.
+    lp_guess = -(-sampler.n_ent // n_grid)
+    from openkeonspark_tpu.parallel.hot import entity_table_names
+    big_ent = {t: lp_guess for t in entity_table_names(model)
+               if lp_guess * n_grid > SMALL_TABLE_ROWS}
+    plan = (HotPlan(model, cfg, sampler, b_sub, big_ent, L, H)
+            if (cfg.exchange_hot_rows or cfg.exchange_capacity == "stats")
+            else None)
+    hot_tables = plan.hot_tables if plan is not None else ()
+    hot_k_val = plan.k if plan is not None else 0
+    hot_ids_arr = plan.hot_ids if hot_k_val else None
+    stats_caps = plan.caps if plan is not None else {}
+
+    def _hot_mask(ids, sentinel):
+        """(is_hot, hot_slot, cold-masked ids) against the replicated hot
+        id set (ascending; one searchsorted per stream)."""
+        pos = jnp.searchsorted(hot_ids_arr, ids)
+        posc = jnp.minimum(pos, hot_k_val - 1).astype(jnp.int32)
+        is_hot = jnp.take(hot_ids_arr, posc) == ids
+        return (is_hot, posc,
+                jnp.where(is_hot, jnp.asarray(sentinel, ids.dtype), ids))
+
     def step(state: TrainState, sampler_: DeviceSampler, key: jax.Array):
         h_idx = jax.lax.axis_index(HOST)
         d_idx = jax.lax.axis_index(DATA)
@@ -165,6 +192,7 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
         main_pairs: Dict[str, List[Tuple[jax.Array, jax.Array]]] = {}
         ovf_pairs: Dict[str, List[Tuple[jax.Array, jax.Array]]] = {}
         dense_grads: Dict[str, jax.Array] = {}
+        hot_grads: Dict[str, jax.Array] = {}   # table -> [K, d+1] f32
         n_ovf_upd = jnp.zeros((), jnp.int32)
 
         def small(table):
@@ -190,14 +218,18 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
             else:
                 work, u_idx = ids, None
                 exp1 = None
-            valid = (work < rows_phys) if dedup_gather else \
-                jnp.ones(work.shape, bool)
+            # `< rows_phys` also drops hot ids masked to the sentinel
+            valid = work < rows_phys
             u = work.shape[0]
 
             # stage 1: ids to relays over ICI
             relay = (work // lp) % L
-            cap1 = capacity_for(u, L, slack, expected=exp1,
-                                local_rows=H * lp if dedup_gather else None)
+            if table in stats_caps:   # frequency-aware (parallel/hot.py)
+                cap1 = max(8, min(stats_caps[table]["g1"], u))
+            else:
+                cap1 = capacity_for(u, L, slack, expected=exp1,
+                                    local_rows=H * lp if dedup_gather
+                                    else None)
             routed1, slot1, novf1 = _bucket(work, L, cap1, lp, valid,
                                             owner=relay)
             req1 = _scatter_ids(work, slot1, L * cap1, -1)
@@ -209,10 +241,14 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
             runiq, r_uidx = dedup_ids(ids2, sentinel=rows_phys)
             rvalid = runiq < rows_phys
             owner_host = runiq // (L * lp)
-            cap2 = capacity_for(
-                L * cap1, H, slack,
-                expected=expected_unique(L * ids.shape[0], rows_phys) / L,
-                local_rows=lp)
+            if table in stats_caps:
+                cap2 = max(8, min(stats_caps[table]["c2"], L * cap1, lp))
+            else:
+                cap2 = capacity_for(
+                    L * cap1, H, slack,
+                    expected=expected_unique(L * ids.shape[0],
+                                             rows_phys) / L,
+                    local_rows=lp)
             routed2, slot2, novf2 = _bucket(runiq, H, cap2, lp, rvalid,
                                             owner=owner_host)
             req2 = _scatter_ids(runiq, slot2, H * cap2, -1)
@@ -254,12 +290,21 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
 
             rows_by_table: Dict[str, jax.Array] = {}
             fb_args = {}
+            hot_info: Dict[str, Tuple[jax.Array, jax.Array]] = {}
             n_ovf = jnp.zeros((), jnp.int32)
             for table, ids in table_ids.items():
                 if table in small_full:
                     rows_by_table[table] = jnp.take(small_full[table], ids,
                                                     axis=0)
                     continue
+                if table in hot_tables:
+                    # hot ids: zero-wire local cache read; the routed
+                    # stream sees the sentinel (never bucketed, never in
+                    # the fallback)
+                    rp = state.params[table].shape[0] * n_grid
+                    is_hot, slot_h, ids = _hot_mask(ids, rp)
+                    hot_info[table] = (is_hot, jnp.take(
+                        state.params[table + HOT_SUFFIX], slot_h, axis=0))
                 rows, u_idx, fb, novf = hier_gather(table, ids)
                 fb_args[table] = fb
                 rows_by_table[table] = (rows, u_idx)
@@ -282,8 +327,13 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
             for t, ex in zip(names, extra):
                 rows, u_idx = rows_by_table[t]
                 rows = rows + ex
-                rows_by_table[t] = (jnp.take(rows, u_idx, axis=0)
-                                    if u_idx is not None else rows)
+                rows = (jnp.take(rows, u_idx, axis=0)
+                        if u_idx is not None else rows)
+                if t in hot_info:
+                    is_hot, hot_rows = hot_info[t]
+                    rows = jnp.where(is_hot[:, None],
+                                     hot_rows.astype(rows.dtype), rows)
+                rows_by_table[t] = rows
 
             slots = assemble(rows_by_table)
             n_neg = cfg.negative_ent + cfg.negative_rel
@@ -311,19 +361,38 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
                                           + g_dense)
                     continue
                 sent = rows_phys
+                if table in hot_tables:
+                    # hot rows: dense grid-summed gradient (one psum after
+                    # the chunk loop), applied replicated — never routed.
+                    # The extra column counts touches for the lazy
+                    # optimizers' moment mask.
+                    is_hot, slot_h, uid = _hot_mask(uid, sent)
+                    gext = jnp.concatenate(
+                        [ug, jnp.ones((ug.shape[0], 1), ug.dtype)], 1)
+                    acc = hot_grads.get(table)
+                    if acc is None:
+                        acc = jnp.zeros((hot_k_val, ug.shape[1] + 1),
+                                        jnp.float32)
+                    hot_grads[table] = scatter_add_rows(
+                        acc, jnp.where(is_hot, slot_h, hot_k_val), gext)
                 if dedup_update:
                     uid, ug = aggregate_duplicates(uid, ug, sentinel=sent)
-                    valid = uid < sent
                     exp1 = expected_unique(uid.shape[0], rows_phys)
                 else:
-                    valid = jnp.ones(uid.shape, bool)
                     exp1 = None
+                # `< sent` also drops hot ids masked to the sentinel
+                valid = uid < sent
 
                 # stage 1 (ICI; cfg.exchange_ici_wire_dtype — f32 default
                 # keeps the DCN hop as the single quantization point):
                 # route (id, grad) to the relay
                 relay = (uid // lp) % L
-                cap1 = capacity_for(uid.shape[0], L, slack, expected=exp1)
+                if table in stats_caps:
+                    cap1 = max(8, min(stats_caps[table]["u1"],
+                                      uid.shape[0]))
+                else:
+                    cap1 = capacity_for(uid.shape[0], L, slack,
+                                        expected=exp1)
                 routed1, slot1, novf1 = _bucket(uid, L, cap1, lp, valid,
                                                 owner=relay)
                 b_ids, b_g = _scatter_pairs(uid, ug, slot1, L * cap1, sent)
@@ -336,11 +405,15 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
                 auid, aagg = aggregate_duplicates(rid, rg, sentinel=sent)
                 avalid = auid < sent
                 owner_host = auid // (L * lp)
-                cap2 = capacity_for(
-                    L * cap1, H, slack,
-                    expected=expected_unique(
-                        L * uid.shape[0], rows_phys) / L,
-                    local_rows=lp)
+                if table in stats_caps:
+                    cap2 = max(8, min(stats_caps[table]["c2"], L * cap1,
+                                      lp))
+                else:
+                    cap2 = capacity_for(
+                        L * cap1, H, slack,
+                        expected=expected_unique(
+                            L * uid.shape[0], rows_phys) / L,
+                        local_rows=lp)
                 routed2, slot2, novf2 = _bucket(auid, H, cap2, lp, avalid,
                                                 owner=owner_host)
                 b2_ids, b2_g = _scatter_pairs(auid, aagg, slot2, H * cap2,
@@ -369,11 +442,24 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
             updates[table] = [(lid, g)]
         for table, g_dense in dense_grads.items():
             lp = state.params[table].shape[0]
-            g_sum = jax.lax.psum(g_dense, ALL)
+            # wire-dtype psum: the same quantization point the routed
+            # grads get (bit-parity with the legacy step at f32 wire)
+            g_sum = jax.lax.psum(g_dense.astype(wire_dt),
+                                 ALL).astype(jnp.float32)
             g_local = jax.lax.dynamic_slice_in_dim(g_sum, n_idx * lp, lp, 0)
             touched = g_local[:, -1] > 0
             lid = jnp.where(touched, jnp.arange(lp, dtype=jnp.int32), lp)
             updates[table] = [(lid, g_local[:, :-1])]
+        for table, g_hot in hot_grads.items():
+            # ONE grid psum carries every hot-row gradient (XLA reduces
+            # hierarchically: ICI within a host, one DCN crossing per
+            # host); the wire dtype matches the routed grads' quantization
+            # point. Every device then applies the identical DenseUpdate
+            # to its replicated companion — replicas stay bit-identical.
+            g_sum = jax.lax.psum(g_hot.astype(wire_dt),
+                                 ALL).astype(jnp.float32)
+            updates[table + HOT_SUFFIX] = DenseUpdate(
+                grad=g_sum[:, :-1], touched=g_sum[:, -1] > 0)
 
         n_ovf_upd = jax.lax.psum(n_ovf_upd, ALL)
 
@@ -383,7 +469,8 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
 
         def apply_slow(operand):
             params, opt_state = operand
-            ups: Updates = {t: list(v) for t, v in updates.items()}
+            ups: Updates = {t: list(v) if isinstance(v, list) else v
+                            for t, v in updates.items()}
             for table, pairs in ovf_pairs.items():
                 lp = state.params[table].shape[0]
                 for oid, og in pairs:
@@ -399,6 +486,27 @@ def build_hier_train_step(model: KGEModel, cfg: Config,
         params, opt_state = jax.lax.cond(
             n_ovf_upd > 0, apply_slow, apply_fast,
             (state.params, state.opt_state))
+        if hot_grads:
+            # owner mirror: each device scatters its owned hot rows (and
+            # optimizer slots) from the updated replicated companions back
+            # into the sharded tables — a K-row local write, zero wire —
+            # so the authoritative sharded state is never stale and
+            # eval/checkpoint/export need no merge step.
+            params = dict(params)
+            opt_state = {s: dict(v) for s, v in opt_state.items()}
+            for table in hot_grads:
+                lp = params[table].shape[0]
+                lid = hot_ids_arr - n_idx * lp
+                tgt = jnp.where((lid >= 0) & (lid < lp), lid,
+                                lp).astype(jnp.int32)
+                cache = params[table + HOT_SUFFIX]
+                params[table] = params[table].at[tgt].set(
+                    cache.astype(params[table].dtype), mode="drop")
+                for s in opt_state:
+                    hot_slot = opt_state[s][table + HOT_SUFFIX]
+                    opt_state[s][table] = opt_state[s][table].at[tgt].set(
+                        hot_slot.astype(opt_state[s][table].dtype),
+                        mode="drop")
         global_loss = jax.lax.psum(loss, ALL)
         return (TrainState(params, opt_state, state.step + 1), global_loss)
 

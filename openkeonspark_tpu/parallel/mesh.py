@@ -106,16 +106,21 @@ def shard_state(state: TrainState, mesh: Mesh,
     row counts must be divisible by the sharded axis size (init with
     ``pad_to_multiple=M`` for the legacy layout, ``=grid size`` for
     ``flat``; padding to the grid size always is safe for both)."""
+    from openkeonspark_tpu.parallel.hot import is_hot_key
     tspec = NamedSharding(mesh, table_spec(flat, mesh))
     rspec = NamedSharding(mesh, P())
 
     def put_tables(tree):
-        return jax.tree_util.tree_map(
-            lambda x: _put_global(x, tspec) if getattr(x, "ndim", 0) == 2
-            else _put_global(x, rspec), tree)
+        # replicated hot companions (parallel/hot.py) stay replicated;
+        # every other 2-D array is a row-sharded table
+        return {k: _put_global(v, rspec if (is_hot_key(k)
+                                            or getattr(v, "ndim", 0) != 2)
+                               else tspec)
+                for k, v in tree.items()}
 
     return TrainState(params=put_tables(state.params),
-                      opt_state=put_tables(state.opt_state),
+                      opt_state={s: put_tables(v)
+                                 for s, v in state.opt_state.items()},
                       step=_put_global(state.step, rspec))
 
 

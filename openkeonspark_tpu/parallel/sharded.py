@@ -55,6 +55,12 @@ def _state_specs(model: KGEModel, cfg: Config, flat: bool = False,
     replicated."""
     spec = P(axes or (DATA, MODEL), None) if flat else P(MODEL, None)
     tables = {name: spec for name in model.tables(cfg, 1, 1)}
+    if cfg.exchange_hot_rows:
+        from openkeonspark_tpu.parallel.hot import (HOT_SUFFIX,
+                                                    entity_table_names)
+        for t in entity_table_names(model):
+            if t in tables:
+                tables[t + HOT_SUFFIX] = P()   # replicated companion
     opt = {s: dict(tables)
            for s in make_optimizer(cfg).state_slots}
     return TrainState(params=tables, opt_state=opt, step=P())

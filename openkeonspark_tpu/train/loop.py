@@ -131,6 +131,12 @@ def train(cfg: Config, ds: Dataset, index: Optional[KGIndex] = None,
         host_step = build_host_scan_steps(model, cfg)
     else:
         sampler = DeviceSampler.build(ds, index)
+        if cfg.exchange_hot_rows:
+            # refresh the replicated hot companions from the authoritative
+            # sharded tables (fresh init, warm start, or restore) before
+            # the hierarchical step reads them (parallel/hot.py)
+            from openkeonspark_tpu.parallel.hot import sync_hot_cache
+            state = sync_hot_cache(state, model, cfg, sampler)
         build = step_builder or build_train_step
         step_fn = build(model, cfg, sampler, batch_size)
         sps = max(1, min(cfg.scan_group_size(batch_size), cfg.nbatches))

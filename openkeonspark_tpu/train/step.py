@@ -44,6 +44,10 @@ def init_state(model: KGEModel, cfg: Config, n_ent: int, n_rel: int,
     specs = model.tables(cfg, n_ent, n_rel)
     params = init_tables(key, specs, dtype=jnp.dtype(cfg.dtype),
                          pad_to_multiple=pad_to_multiple)
+    if cfg.exchange_hot_rows:
+        from openkeonspark_tpu.parallel.hot import init_hot_params
+        params = init_hot_params(params, model, cfg, n_ent,
+                                 jnp.dtype(cfg.dtype))
     opt = make_optimizer(cfg)
     return TrainState(params=params, opt_state=opt.init(params),
                       step=jnp.zeros((), jnp.int32))

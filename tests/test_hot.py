@@ -1,0 +1,216 @@
+"""Hot-row replication + frequency-aware capacities (parallel/hot.py).
+
+VERDICT r4 next #1: replicate the top-K highest-degree entity rows
+grid-wide, route only cold rows through the relay, with capacities sized
+from the dataset's measured degree tables — numerics-exact (same bound as
+the existing exchange parity tests), with the sharded tables never stale
+(owner mirror). Covers SURVEY.md §7's freqEnt/locality hard part."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openkeonspark_tpu.config import Config
+from openkeonspark_tpu.data.index import build_kg_index
+from openkeonspark_tpu.data.synth import random_kg
+from openkeonspark_tpu.models import get_model
+from openkeonspark_tpu.parallel import (build_train_step_for, make_mesh,
+                                        shard_sampler, shard_state,
+                                        sync_hot_cache)
+from openkeonspark_tpu.parallel.hot import (HOT_SUFFIX, CAP_Z, HotPlan,
+                                            bucket_cap, choose_hot_ids,
+                                            degree_stats, expected_counts,
+                                            hot_k, touch_probs)
+from openkeonspark_tpu.sampling.device import DeviceSampler
+from openkeonspark_tpu.train.step import init_state
+
+
+@pytest.fixture(scope="module")
+def kg():
+    ds = random_kg(n_ent=3000, n_rel=20, n_triples=8000, n_valid=50,
+                   n_test=50, seed=3)
+    idx = build_kg_index(ds, for_eval=False)
+    return ds, idx
+
+
+def test_degree_stats_and_hot_ids(kg):
+    ds, idx = kg
+    sam = DeviceSampler.build(ds, idx)
+    dh, dt, T = degree_stats(sam)
+    assert T == len(ds.train)
+    np.testing.assert_array_equal(
+        dh, np.bincount(ds.train[:, 0], minlength=ds.n_ent))
+    np.testing.assert_array_equal(
+        dt, np.bincount(ds.train[:, 1], minlength=ds.n_ent))
+    hot = choose_hot_ids(dh, dt, 64)
+    assert hot.shape == (64,) and np.all(np.diff(hot) > 0)
+    deg = dh + dt
+    # every hot row's degree >= every cold row's degree
+    assert deg[hot].min() >= np.delete(deg, hot).max() - 1e-9
+    assert hot_k(Config(exchange_hot_rows=100,
+                        exchange_capacity="stats"), ds.n_ent) == 96
+
+
+def test_touch_probs_vs_monte_carlo(kg):
+    ds, idx = kg
+    sam = DeviceSampler.build(ds, idx)
+    dh, dt, T = degree_stats(sam)
+    m_h, m_t, m_u = 400, 400, 400
+    p = touch_probs(dh, dt, T, ds.n_ent, m_h, m_t, m_u, ds.n_ent)
+    rng = np.random.default_rng(0)
+    trials, touched = 60, np.zeros(ds.n_ent)
+    for _ in range(trials):
+        rows = rng.integers(0, T, m_h + m_t)
+        ids = np.concatenate([ds.train[rows[:m_h], 0],
+                              ds.train[rows[m_h:], 1],
+                              rng.integers(0, ds.n_ent, m_u)])
+        touched[np.unique(ids)] += 1
+    # aggregate check: expected unique matches simulation within 2%
+    assert abs(p.sum() - touched.sum() / trials) / p.sum() < 0.02
+    lam = expected_counts(dh, dt, T, ds.n_ent, m_h, m_t, m_u, ds.n_ent)
+    assert abs(lam.sum() - (m_h + m_t + m_u)) < 1e-6
+
+
+def test_bucket_cap_covers_expected_max():
+    p = np.array([0.9, 0.9, 0.1, 0.1, 0.5, 0.5])
+    groups = np.array([0, 0, 1, 1, 2, 2])
+    cold = np.ones(6, bool)
+    cap = bucket_cap(p, cold, groups, 3, 1.5, 64)
+    mx = 1.8 + CAP_Z * np.sqrt(2 * 0.9 * 0.1)
+    assert cap >= mx
+    assert cap % 8 == 0 and cap <= 64
+    # hot masking removes mass
+    cold2 = cold.copy(); cold2[:2] = False
+    assert bucket_cap(p, cold2, groups, 3, 1.5, 64) <= cap
+
+
+def test_hot_plan_caps_shrink_with_hot_set(kg):
+    ds, idx = kg
+    sam = DeviceSampler.build(ds, idx)
+    model = get_model("transe")
+    lp = -(-ds.n_ent // 8)
+    caps = {}
+    for k in (0, 256):
+        cfg = Config(model="transe", hidden_size=32, negative_ent=1,
+                     exchange_hot_rows=k, exchange_capacity="stats")
+        plan = HotPlan(model, cfg, sam, 128, {"ent_embeddings": lp}, 4, 2)
+        caps[k] = plan.caps["ent_embeddings"]
+        if k:
+            assert plan.hot_ids_np.shape == (256,)
+    for key in ("g1", "u1", "c2"):
+        assert caps[256][key] <= caps[0][key]
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Config(exchange_hot_rows=64)            # needs stats capacity
+    with pytest.raises(ValueError):
+        Config(exchange_capacity="nope")
+    Config(exchange_hot_rows=64, exchange_capacity="stats")
+
+
+@pytest.mark.parametrize("model_name,opt", [("transe", "sgd"),
+                                            ("transd", "adam")])
+def test_hier_hot_parity_vs_flat(kg, model_name, opt):
+    """hier + hot rows + stats caps on (2,2,2) matches the flat exchange
+    step at f32 wire (same draws; summation order only — the bound every
+    exchange parity test pins). TransD covers two entity tables sharing
+    one hot set; adam covers replicated optimizer-slot companions."""
+    ds, idx = kg
+    model = get_model(model_name)
+    sam = DeviceSampler.build(ds, idx)
+    base = dict(model=model_name, hidden_size=32, negative_ent=1,
+                opt_method=opt, sharded_step="exchange",
+                exchange_wire_dtype="float32",
+                exchange_ici_wire_dtype="float32")
+    B = 512
+
+    cfg_f = Config(**base)
+    mesh_f = make_mesh((4, 2))
+    s0 = init_state(model, cfg_f, ds.n_ent, ds.n_rel, jax.random.key(0),
+                    pad_to_multiple=8)
+    st_f = shard_state(s0, mesh_f, flat=True)
+    ss_f = shard_sampler(sam, mesh_f)
+    step_f = jax.jit(build_train_step_for(model, cfg_f, ss_f, B, mesh_f))
+
+    cfg_h = Config(**base, exchange_hot_rows=256,
+                   exchange_capacity="stats")
+    mesh_h = make_mesh((2, 2, 2))
+    s1 = init_state(model, cfg_h, ds.n_ent, ds.n_rel, jax.random.key(0),
+                    pad_to_multiple=8)
+    st_h = sync_hot_cache(shard_state(s1, mesh_h, flat=True), model,
+                          cfg_h, sam)
+    ss_h = shard_sampler(sam, mesh_h)
+    step_h = jax.jit(build_train_step_for(model, cfg_h, ss_h, B, mesh_h))
+
+    for i in range(3):
+        key = jax.random.key(100 + i)
+        st_f, loss_f = step_f(st_f, ss_f, key)
+        st_h, loss_h = step_h(st_h, ss_h, key)
+    np.testing.assert_allclose(float(loss_f), float(loss_h), rtol=1e-6)
+    for t in s0.params:
+        np.testing.assert_allclose(np.asarray(st_h.params[t]),
+                                   np.asarray(st_f.params[t]),
+                                   rtol=1e-5, atol=1e-6, err_msg=t)
+
+    # owner mirror: sharded rows at hot ids == replicated cache, exactly
+    dh, dt, _ = degree_stats(sam)
+    hot = choose_hot_ids(dh, dt, 256)
+    for t, v in st_h.params.items():
+        if not t.endswith(HOT_SUFFIX):
+            continue
+        base_t = t[: -len(HOT_SUFFIX)]
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(st_h.params[base_t])[hot])
+    for s, slots in st_h.opt_state.items():
+        for t, v in slots.items():
+            if t.endswith(HOT_SUFFIX):
+                base_t = t[: -len(HOT_SUFFIX)]
+                np.testing.assert_array_equal(
+                    np.asarray(v), np.asarray(slots[base_t])[hot])
+
+
+def test_sync_hot_cache_refreshes_companions(kg):
+    ds, idx = kg
+    model = get_model("transe")
+    sam = DeviceSampler.build(ds, idx)
+    cfg = Config(model="transe", hidden_size=16, exchange_hot_rows=64,
+                 exchange_capacity="stats")
+    st = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(1))
+    assert "ent_embeddings" + HOT_SUFFIX in st.params
+    assert np.all(np.asarray(st.params["ent_embeddings" + HOT_SUFFIX]) == 0)
+    st = sync_hot_cache(st, model, cfg, sam)
+    dh, dt, _ = degree_stats(sam)
+    hot = choose_hot_ids(dh, dt, 64)
+    np.testing.assert_array_equal(
+        np.asarray(st.params["ent_embeddings" + HOT_SUFFIX]),
+        np.asarray(st.params["ent_embeddings"])[hot])
+
+
+def test_train_loop_with_hot_rows(kg):
+    """End-to-end: train() with a hier step + hot rows through the loop's
+    sync path; loss finite and the state carries coherent companions."""
+    ds, idx = kg
+    from openkeonspark_tpu.parallel.exchange import \
+        make_exchange_step_builder
+    from openkeonspark_tpu.train.loop import train
+    mesh = make_mesh((2, 2, 2))
+    cfg = Config(model="transe", hidden_size=16, negative_ent=1,
+                 train_times=2, nbatches=4, batch_size=512,
+                 sharded_step="exchange", exchange_hot_rows=64,
+                 exchange_capacity="stats", log_every=0)
+    model = get_model("transe")
+    st = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
+                    pad_to_multiple=8)
+    st = shard_state(st, mesh, flat=True)
+    res = train(cfg, ds, index=idx, state=st,
+                step_builder=make_exchange_step_builder(mesh))
+    assert np.isfinite(res.final_loss)
+    sam = DeviceSampler.build(ds, idx)
+    dh, dt, _ = degree_stats(sam)
+    hot = choose_hot_ids(dh, dt, 64)
+    np.testing.assert_array_equal(
+        np.asarray(res.state.params["ent_embeddings" + HOT_SUFFIX]),
+        np.asarray(res.state.params["ent_embeddings"])[hot])
