@@ -109,7 +109,7 @@ def tpu_tps(ds, cfg, batch_size, steps_per_scan=200, repeats=5):
     key = jax.random.key(1)
     state, loss = run(state, sampler, key)  # compile + warmup
     float(loss)
-    best = 0.0
+    rates = []
     for i in range(repeats):
         key = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
@@ -121,8 +121,15 @@ def tpu_tps(ds, cfg, batch_size, steps_per_scan=200, repeats=5):
         # magnitude (measured)
         float(loss)
         dt = time.perf_counter() - t0
-        best = max(best, steps_per_scan * batch_size / dt)
-    return best
+        rates.append(steps_per_scan * batch_size / dt)
+    # median-of-5 + relative spread — the SAME protocol as the CPU
+    # baseline and the eval bench (r4 review: the old best-of-5 against a
+    # median denominator inflated vs_baseline and hid session swing; the
+    # r3->r4 -4.5% flagship drift sits inside the tunnel's measured
+    # 5-15% session spread, BASELINE.md section 2)
+    med = float(np.median(rates))
+    spread = float((max(rates) - min(rates)) / med)
+    return med, spread, [round(r, 1) for r in rates]
 
 
 def main():
@@ -133,13 +140,30 @@ def main():
     cfg = Config(model="transe", hidden_size=D, alpha=0.01, margin=1.0,
                  negative_ent=1, negative_rel=0, bern=True,
                  nbatches=NBATCHES)
-    value = tpu_tps(ds, cfg, batch_size)
+    # ONE pinned scan depth (steps_per_scan=200); anchored against the
+    # stored median of a reference session so day-to-day tunnel variance
+    # is visible as vs_anchor, not silently folded into vs_baseline
+    value, spread, rates = tpu_tps(ds, cfg, batch_size)
     baseline = cpu_baseline_tps(ds, batch_size)
+    anchor_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_train_anchor.json")
+    if os.path.exists(anchor_file):
+        with open(anchor_file) as f:
+            anchor = json.load(f)["median_triples_per_sec"]
+    else:  # first run pins the anchor (committed alongside the bench)
+        anchor = value
+        with open(anchor_file, "w") as f:
+            json.dump({"median_triples_per_sec": value, "spread": spread,
+                       "rates": rates, "steps_per_scan": 200,
+                       "protocol": "median of 5 scans x 200 steps, "
+                                   "pinned seed, post-warmup"}, f)
     print(json.dumps({
         "metric": "transe_d200_fb15k237shape_train_throughput",
         "value": round(value, 1),
         "unit": "triples/s",
         "vs_baseline": round(value / baseline, 2),
+        "spread": round(spread, 3),
+        "vs_anchor": round(value / anchor, 3),
     }))
 
 

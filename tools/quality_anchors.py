@@ -56,6 +56,21 @@ def main():
     ap.add_argument("--epochs-scale", type=float, default=1.0,
                     help="multiply each spec's train_times (recovery-vs-"
                          "budget experiments)")
+    ap.add_argument("--p-norm", type=int, default=0,
+                    help="override the TRAINED model's score norm (0 = "
+                         "spec default L1). The ceiling always scores "
+                         "p2 — the generator's Euclidean planting rule — "
+                         "so --p-norm 2 is the A/B that tests whether the "
+                         "recovery plateau is the L1-loss/L2-geometry "
+                         "mismatch (VERDICT r4 weak #5)")
+    ap.add_argument("--negative-ent", type=int, default=0,
+                    help="override negatives per positive (0 = spec)")
+    ap.add_argument("--margin", type=float, default=0.0,
+                    help="override margin (0 = spec)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="scale n_ent AND n_triples by this factor — "
+                         "probes the small-shape (78-104%% of ceiling) "
+                         "vs 10k-entity (33-46%%) recovery dependence")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -68,12 +83,24 @@ def main():
 
     for name in args.models.split(","):
         kg_kw, cfg_kw = SPECS[name]
-        ds, hidden = planted_kg(n_valid=2000, n_test=5000, noise=0.0,
-                                seed=1, model=name, head_frac=0.5,
-                                with_params=True, **kg_kw)
+        kg_kw = dict(kg_kw)
+        if args.scale != 1.0:
+            kg_kw["n_ent"] = max(200, int(kg_kw["n_ent"] * args.scale))
+            kg_kw["n_triples"] = max(4000, int(kg_kw["n_triples"]
+                                               * args.scale))
+        n_test = min(5000, kg_kw["n_triples"] // 8)
+        ds, hidden = planted_kg(n_valid=min(2000, n_test), n_test=n_test,
+                                noise=0.0, seed=1, model=name,
+                                head_frac=0.5, with_params=True, **kg_kw)
         cfg_kw = dict(cfg_kw)
         cfg_kw["train_times"] = int(cfg_kw["train_times"]
                                     * args.epochs_scale)
+        if args.p_norm:
+            cfg_kw["p_norm"] = args.p_norm
+        if args.negative_ent:
+            cfg_kw["negative_ent"] = args.negative_ent
+        if args.margin:
+            cfg_kw["margin"] = args.margin
         cfg = Config(model=name, nbatches=100, **cfg_kw)
         t0 = time.time()
         res = train(cfg, ds, echo=lambda *a, **k: None)
@@ -96,6 +123,8 @@ def main():
         eval_s = time.time() - t0
         print(json.dumps({
             "model": name, "n_ent": kg_kw["n_ent"],
+            "p_norm": cfg.p_norm, "margin": cfg.margin,
+            "negative_ent": cfg.negative_ent,
             "n_train": int(ds.n_train),
             "final_loss": round(res.final_loss, 3),
             "train_s": round(train_s, 1), "eval_s": round(eval_s, 1),

@@ -79,6 +79,19 @@ def main():
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual CPU devices (16 unlocks the 4-host "
                          "meshes); parsed before jax init")
+    ap.add_argument("--hot-rows", type=int, default=0,
+                    help="replicate the top-K highest-degree entity rows "
+                         "(parallel/hot.py); requires --capacity stats")
+    ap.add_argument("--n-triples", type=int, default=20000,
+                    help="synthetic store size — matters in stats mode "
+                         "(capacities derive from the degree tables)")
+    ap.add_argument("--meshes", default="",
+                    help="comma list of mesh shapes to run, e.g. "
+                         "'2x2,2x2x2' (empty = the standard list)")
+    ap.add_argument("--capacity", default="uniform",
+                    choices=["uniform", "stats"],
+                    help="owner-bucket capacity model (stats = sized from "
+                         "the dataset's measured degree tables)")
     args = ap.parse_args()
 
     from openkeonspark_tpu.config import Config
@@ -93,19 +106,26 @@ def main():
     from openkeonspark_tpu.sampling.device import DeviceSampler
     from openkeonspark_tpu.train.step import init_state
 
-    # small synthetic KG: collective shapes depend on batch/d/mesh, not on
-    # the store size, so a compact store keeps compiles fast
-    ds = random_kg(n_ent=args.n_ent, n_rel=237, n_triples=20000,
+    # compact synthetic store by default (collective shapes depend on
+    # batch/d/mesh); stats-mode capacities ALSO depend on the degree
+    # tables, so config-#5 runs pass a representative --n-triples
+    ds = random_kg(n_ent=args.n_ent, n_rel=237, n_triples=args.n_triples,
                    n_valid=100, n_test=100, seed=7)
     cfg = Config(model="transe", hidden_size=args.d, negative_ent=1,
                  sharded_step=args.step,
                  exchange_wire_dtype=args.wire_dtype,
-                 exchange_ici_wire_dtype=args.ici_dtype)
+                 exchange_ici_wire_dtype=args.ici_dtype,
+                 exchange_hot_rows=args.hot_rows,
+                 exchange_capacity=args.capacity)
     model = get_model(cfg.model)
     sampler = DeviceSampler.build(ds, build_kg_index(ds, for_eval=False))
 
+    meshes = MESHES
+    if args.meshes:
+        meshes = [tuple(int(x) for x in m.split("x"))
+                  for m in args.meshes.split(",")]
     payload_by_mesh = {}
-    for shape in MESHES:
+    for shape in meshes:
         n = 1
         for s in shape:
             n *= s
@@ -183,6 +203,8 @@ def main():
                "link_model": args.link_model,
                "wire_dtype": cfg.exchange_wire_dtype,
                "dedup": cfg.exchange_dedup,
+               "hot_rows": cfg.exchange_hot_rows,
+               "capacity": cfg.exchange_capacity,
                "meshes": {str(k): {**v, "payload_bytes":
                                    payload_by_mesh[k]["total"],
                                    "wire_ici": payload_by_mesh[k].get(
