@@ -92,6 +92,25 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="jax.distributed coordinator addr (multi-host)")
     p.add_argument("--num_processes", type=int, default=1)
     p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--exchange_hot_rows", type=int, default=0,
+                   help="replicate the top-K highest-degree entity rows "
+                        "grid-wide (numerics-exact cross-host lever; "
+                        "needs --exchange_capacity stats)")
+    p.add_argument("--exchange_capacity", default="uniform",
+                   choices=["uniform", "stats"],
+                   help="owner-bucket capacity model: 'stats' sizes from "
+                        "the dataset's measured degree tables")
+    p.add_argument("--exchange_wire_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16", "float8_e4m3fn"],
+                   help="a2a payload dtype (float32 = bit-parity with "
+                        "the psum step; fp8 = DCN-bound escalation)")
+    p.add_argument("--exchange_ici_wire_dtype", default="float32",
+                   choices=["float32", "bfloat16", "float8_e4m3fn"],
+                   help="hier stage-1 (intra-host) update wire dtype")
+    p.add_argument("--exchange_dedup", default="gather",
+                   choices=["gather", "both", "off"])
+    p.add_argument("--exchange_microbatches", type=int, default=2)
+    p.add_argument("--exchange_slack", type=float, default=1.5)
     return p
 
 
@@ -121,4 +140,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
         chips_per_host=args.chips_per_host,
         coordinator=args.coordinator, num_processes=args.num_processes,
         process_id=args.process_id,
+        exchange_hot_rows=args.exchange_hot_rows,
+        exchange_capacity=args.exchange_capacity,
+        exchange_wire_dtype=args.exchange_wire_dtype,
+        exchange_ici_wire_dtype=args.exchange_ici_wire_dtype,
+        exchange_dedup=args.exchange_dedup,
+        exchange_microbatches=args.exchange_microbatches,
+        exchange_slack=args.exchange_slack,
     )
