@@ -112,7 +112,8 @@ def test_config_validation():
 
 
 @pytest.mark.parametrize("model_name,opt", [("transe", "sgd"),
-                                            ("transd", "adam")])
+                                            ("transd", "adam"),
+                                            ("transr", "adagrad")])
 def test_hier_hot_parity_vs_flat(kg, model_name, opt):
     """hier + hot rows + stats caps on (2,2,2) matches the flat exchange
     step at f32 wire (same draws; summation order only — the bound every

@@ -131,7 +131,10 @@ def test_two_process_hierarchical_exchange(tmp_path):
     the process boundary — stage-1 relay a2as stay inside a process
     (the ICI analog), the stage-2 host a2a crosses the gloo transport
     (the DCN analog). The closest single-machine validation of the
-    cross-host topology the step was built for (VERDICT r3 next #1)."""
+    cross-host topology the step was built for (VERDICT r3 next #1).
+    Round 5 adds hot-row replication + stats capacities to the same run,
+    covering the multi-process ``sync_hot_cache`` refresh (jit with
+    explicit replicated out-shardings across the process group)."""
     from openkeonspark_tpu.data.dataset import save_dataset
     from openkeonspark_tpu.data.synth import random_kg
     kg_dir = str(tmp_path / "kg")
@@ -157,6 +160,7 @@ def test_two_process_hierarchical_exchange(tmp_path):
              "--alpha", "0.1", "--margin", "1.0",
              "--train_times", "2", "--nbatches", "5",
              "--negative_ent", "1", "--valid_every", "1",
+             "--exchange_hot_rows", "64", "--exchange_capacity", "stats",
              "--test_link_prediction"],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
