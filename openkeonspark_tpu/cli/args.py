@@ -28,7 +28,7 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     # model
     p.add_argument("--model", default="transe",
                    choices=["transe", "transh", "transr", "transd",
-                            "distmult", "complex"])
+                            "distmult", "complex", "rotate"])
     p.add_argument("--hidden_size", type=int, default=200)
     p.add_argument("--ent_size", type=int, default=None)
     p.add_argument("--rel_size", type=int, default=None)

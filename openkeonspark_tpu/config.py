@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 @dataclass(frozen=True)
 class Config:
     # --- model ---------------------------------------------------------
-    model: str = "transe"            # transe|transh|transr|transd|distmult|complex
+    model: str = "transe"  # transe|transh|transr|transd|distmult|complex|rotate
     hidden_size: int = 200           # embedding dim d (ent_size == rel_size)
     ent_size: Optional[int] = None   # TransR: entity dim d_e (default hidden_size)
     rel_size: Optional[int] = None   # TransR: relation dim d_r (default hidden_size)
@@ -147,7 +147,7 @@ class Config:
 
     def __post_init__(self):
         if self.model not in ("transe", "transh", "transr", "transd",
-                              "distmult", "complex"):
+                              "distmult", "complex", "rotate"):
             raise ValueError(f"unknown model {self.model!r}")
         if self.opt_method.lower() not in ("sgd", "adam", "adagrad",
                                            "adadelta"):

@@ -235,6 +235,15 @@ def _rank_chunk_kernel(params, table_t, cdot_t, h, t, r, gold, known,
                                      p=p, n_ent=n_ent, block=block,
                                      interpret=interpret)
         ks = pk.transh_candidate_scores(q, w, params, kn, sign, p)
+    elif model_name == "rotate":
+        # cdot_t carries the padded-band [E, 2·dp] table (the transd slot
+        # is repurposed as the model-specific auxiliary operand)
+        q, sign = pk.rotate_queries(params, h, t, r, replace)
+        gold_s = pk.rotate_candidate_scores(q, cdot_t, gold, sign)
+        raw = pk.count_better_rotate(q, table_t, gold_s, gold, sign=sign,
+                                     n_ent=n_ent, block=block,
+                                     interpret=interpret)
+        ks = pk.rotate_candidate_scores(q, cdot_t, kn, sign)
     else:  # transd
         q, rp, sign = pk.transd_queries(params, h, t, r, replace)
         gold_s = pk.transd_candidate_scores(q, rp, params, cdot_t, gold,
@@ -450,7 +459,7 @@ def _use_pallas(cfg: Config) -> bool:
     # already outruns 1024 (48.2k vs 29.9k triples/s), so big chunks fall
     # back to the XLA path rather than crash
     import os
-    models = ("transe", "transd")
+    models = ("transe", "transd", "rotate")
     if os.environ.get("OKST_EVAL_TRANSH_KERNEL") == "1":
         models = models + ("transh",)
     return (_pallas_available(cfg) and cfg.model in models
@@ -541,10 +550,17 @@ def link_prediction(params: Dict[str, jax.Array], cfg: Config, ds: Dataset,
             # the projection kernels' extra VMEM scratch (pairwise-dot /
             # cdot operands) OOMs the ~16 MB scoped vmem at block 1024
             kblock = 512
-        table_t = prepare_table(params["ent_embeddings"], block=kblock)
-        cdot_t = (transd_prepare_cdot(params, block=kblock)
-                  if cfg.model == "transd" else
-                  jnp.zeros((8, table_t.shape[1]), jnp.float32))
+        if cfg.model == "rotate":
+            from openkeonspark_tpu.ops.pallas_rank import (
+                rotate_pad_table, rotate_prepare_table)
+            table_t = rotate_prepare_table(params["ent_embeddings"],
+                                           block=kblock)
+            cdot_t = rotate_pad_table(params["ent_embeddings"])
+        else:
+            table_t = prepare_table(params["ent_embeddings"], block=kblock)
+            cdot_t = (transd_prepare_cdot(params, block=kblock)
+                      if cfg.model == "transd" else
+                      jnp.zeros((8, table_t.shape[1]), jnp.float32))
         interpret = jax.default_backend() == "cpu"
     else:
         params_pad, nblocks = _pad_entity_tables(model, params, cfg,

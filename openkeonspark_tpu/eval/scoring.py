@@ -40,6 +40,7 @@ CANDIDATE_TABLES = {
     "transd": ("ent_embeddings", "ent_transfer"),
     "distmult": ("ent_embeddings",),
     "complex": ("ent_embeddings",),
+    "rotate": ("ent_embeddings",),
 }
 
 
@@ -109,6 +110,28 @@ def build_queries(model_name: str, params: Dict[str, jax.Array],
             tr, ti = take(E, t)[:, :d], take(E, t)[:, d:]
             q = jnp.concatenate([rr * tr + ri * ti, rr * ti - ri * tr], -1)
         return {"q": q}
+    if model_name == "rotate":
+        # rotations are unitary: ‖rot(h,θ) − t‖ = ‖h − rot(t,−θ)‖, so
+        # both directions sweep raw candidate rows against one per-query
+        # constant (TransE's sweep form). score_block computes
+        # modulus_sum(q + sign·e_c); head queries carry −rot(t,−θ) so
+        # sign=+1 yields e_c − rot(t,−θ)
+        th = take(R, r)
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        if replace == "tail":
+            eh = take(E, h)
+            d = eh.shape[-1] // 2
+            hr, hi = eh[..., :d], eh[..., d:]
+            q = jnp.concatenate([hr * cos - hi * sin,
+                                 hr * sin + hi * cos], -1)
+        else:
+            et = take(E, t)
+            d = et.shape[-1] // 2
+            tr_, ti = et[..., :d], et[..., d:]
+            # −rot(t, −θ)
+            q = -jnp.concatenate([tr_ * cos + ti * sin,
+                                  ti * cos - tr_ * sin], -1)
+        return {"q": q}
     if model_name == "transd":
         rp = take(params["rel_transfer"].astype(dt), r)
         EP = params["ent_transfer"].astype(dt)
@@ -161,6 +184,12 @@ def score_block(model_name: str, q: Dict[str, jax.Array],
         pce = jnp.einsum("ed,cdk->cek", ce, q["m"],
                          preferred_element_type=jnp.float32).astype(dt)
         return pnorm(q["q"][:, None, :] + sign * pce, p)
+
+    if model_name == "rotate":
+        from openkeonspark_tpu.models.rotate import modulus_sum
+        res = q["q"][:, None, :] + sign * ce[None, :, :]
+        d = res.shape[-1] // 2
+        return modulus_sum(res[..., :d], res[..., d:])
 
     if model_name in ("distmult", "complex"):
         # −(q @ e_cᵀ), one MXU matmul for the whole block. HIGHEST keeps

@@ -7,3 +7,4 @@ from openkeonspark_tpu.models.transr import TransR  # noqa: F401
 from openkeonspark_tpu.models.transd import TransD  # noqa: F401
 from openkeonspark_tpu.models.distmult import DistMult  # noqa: F401
 from openkeonspark_tpu.models.complexe import ComplEx  # noqa: F401
+from openkeonspark_tpu.models.rotate import RotatE  # noqa: F401

@@ -136,5 +136,7 @@ def register(model_cls: type) -> type:
 
 
 def get_model(name: str) -> type:
-    from openkeonspark_tpu.models import transe, transh, transr, transd  # noqa: F401
+    from openkeonspark_tpu.models import (transe, transh, transr,  # noqa: F401
+                                          transd, distmult, complexe,
+                                          rotate)
     return _REGISTRY[name]

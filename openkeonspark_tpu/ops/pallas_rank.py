@@ -16,7 +16,7 @@ whole thing in ONE pass with nothing materialized:
 - score, compare against gold, mask padding, and accumulate the per-query
   count in VMEM scratch; a single [C] int32 vector leaves the kernel.
 
-Three kernels, one per score family, p ∈ {1, 2}:
+Four kernels, one per score family, p ∈ {1, 2}:
 
 - **TransE**  ``‖q + sign·e_c‖``                       — single d-chunk pass;
 - **TransD**  ``‖q + sign·(e_c + (e_c·p_c)·r_p)‖``     — same single pass:
@@ -24,7 +24,14 @@ Three kernels, one per score family, p ∈ {1, 2}:
   evaluation into a [E] vector and streamed with the block;
 - **TransH**  ``‖q + sign·(e_c − (w·e_c)·w)‖``         — the dot depends on
   the (query, candidate) pair, so each block takes two chunked passes:
-  accumulate ``w·e_c`` into VMEM scratch, then the residual norm.
+  accumulate ``w·e_c`` into VMEM scratch, then the residual norm;
+- **RotatE**  ``Σ_l √((q+s·e_c)_re² + (q+s·e_c)_im² + ε)``  — per-complex-
+  lane modulus (r5 beyond-parity): the re/im halves live in separately
+  8-padded sublane bands of the transposed table
+  (``rotate_prepare_table``), so each d-chunk pass slices the paired
+  bands and takes one fused sqrt — the generic XLA path materializes the
+  [C, block, 2d] residual and ran 20× slower (3.0k vs the kernel's t/s,
+  BASELINE §5).
 
 TransR keeps the XLA path: its candidate projection needs the per-query
 [dₑ×dᵣ] matrices resident, which don't fit VMEM at useful chunk sizes.
@@ -484,3 +491,166 @@ def transd_candidate_scores(q: jax.Array, rp: jax.Array, params,
     qb, rpb = (q, rp) if ids.ndim == 1 else (q[:, None, :], rp[:, None, :])
     res = qb + sign * rows + sign * cd[..., None] * rpb
     return _chunked_accumulate(res, p, d_chunk)
+
+
+# --------------------------------------------------------------------------
+# RotatE: paired re/im sublane bands, per-complex-lane modulus
+
+_ROT_EPS = 1e-12  # models/rotate.py's sqrt(0) gradient guard; the eval
+#                   comparisons are internally consistent (gold/known go
+#                   through the same padded-lane arithmetic)
+
+
+def rotate_pad_table(table: jax.Array) -> jax.Array:
+    """[E, 2d] → [E, 2·dp] f32 with each half zero-padded to dp % 8 == 0
+    (the re band then starts at sublane 0, the im band at dp — both
+    8-aligned for the kernel's d-chunk slices)."""
+    E, D2 = table.shape
+    d = D2 // 2
+    dp = _round_up(d, 8)
+    t = table.astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.pad(t[:, :d], ((0, 0), (0, dp - d))),
+         jnp.pad(t[:, d:], ((0, 0), (0, dp - d)))], axis=1)
+
+
+def rotate_prepare_table(table: jax.Array, block: int = 512) -> jax.Array:
+    """[E, 2d] entity table → transposed [2·dp, Ep] kernel layout."""
+    padded = rotate_pad_table(table)
+    E = padded.shape[0]
+    Ep = _round_up(E, block)
+    return jnp.pad(padded, ((0, Ep - E), (0, 0))).T
+
+
+def rotate_queries(params, h: jax.Array, t: jax.Array, r: jax.Array,
+                   replace: str):
+    """(q [C, 2·dp] in the padded re|im band layout, sign) so candidate
+    scores are ``modulus(q + sign·e_c)``. Rotations are unitary, so the
+    head direction rotates t by −θ instead of rotating every candidate:
+    ``‖rot(h,θ) − t‖ = ‖h − rot(t,−θ)‖`` (models/rotate.py docstring)."""
+    E = params["ent_embeddings"].astype(jnp.float32)
+    th = jnp.take(params["rel_embeddings"].astype(jnp.float32), r, 0)
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    d = th.shape[-1]
+    dp = _round_up(d, 8)
+
+    def pad_halves(re, im):
+        return jnp.concatenate(
+            [jnp.pad(re, ((0, 0), (0, dp - d))),
+             jnp.pad(im, ((0, 0), (0, dp - d)))], axis=1)
+
+    if replace == "tail":
+        eh = jnp.take(E, h, 0)
+        hr, hi = eh[:, :d], eh[:, d:]
+        return pad_halves(hr * cos - hi * sin, hr * sin + hi * cos), -1.0
+    et = jnp.take(E, t, 0)
+    tr_, ti = et[:, :d], et[:, d:]
+    # −rot(t, −θ)
+    return pad_halves(-(tr_ * cos + ti * sin),
+                      -(ti * cos - tr_ * sin)), 1.0
+
+
+def _chunked_modulus_accumulate(re_res: jax.Array, im_res: jax.Array,
+                                d_chunk: int = 8) -> jax.Array:
+    """Σ_l √(re_l² + im_l² + ε) in the kernel's order: 8-wide partial
+    sums added sequentially across chunks (inputs already dp-padded)."""
+    m = jnp.sqrt(re_res * re_res + im_res * im_res + _ROT_EPS)
+    part = m.reshape(m.shape[:-1] + (m.shape[-1] // d_chunk, d_chunk))
+    part = jnp.sum(part, axis=-1)
+
+    def body(k, acc):
+        return acc + part[..., k]
+
+    return jax.lax.fori_loop(0, part.shape[-1], body,
+                             jnp.zeros(part.shape[:-1], jnp.float32))
+
+
+def rotate_candidate_scores(q: jax.Array, table_pad: jax.Array,
+                            ids: jax.Array, sign: float) -> jax.Array:
+    """Score explicit candidate ids against the padded-band table
+    (``rotate_pad_table``) with the kernel's chunked accumulation —
+    tie-exact gold/known scoring. ``q`` [C, 2·dp]; ``ids`` [C] or [C, K]."""
+    rows = jnp.take(table_pad, ids, 0)               # [..., 2·dp]
+    qb = q if ids.ndim == 1 else q[:, None, :]
+    res = qb + sign * rows
+    dp = res.shape[-1] // 2
+    return _chunked_modulus_accumulate(res[..., :dp], res[..., dp:])
+
+
+def _count_kernel_rotate(qt_ref, tab_ref, gold_ref, gid_ref, out_ref,
+                         acc_ref, *, sign: float, n_ent: int, d_chunk: int,
+                         block: int, C: int, dp: int):
+    """RotatE block: slice the paired re/im bands per d-chunk, accumulate
+    the complex-lane moduli (layout notes in ``_count_kernel``)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    n_chunks = dp // d_chunk
+
+    def body(k, _):
+        qr = qt_ref[pl.ds(k * d_chunk, d_chunk), :]          # [DC, C]
+        qi = qt_ref[pl.ds(dp + k * d_chunk, d_chunk), :]
+        cr = tab_ref[pl.ds(k * d_chunk, d_chunk), :]         # [DC, BLK]
+        ci = tab_ref[pl.ds(dp + k * d_chunk, d_chunk), :]
+        rre = qr[:, :, None] + sign * cr[:, None, :]         # [DC, C, BLK]
+        rim = qi[:, :, None] + sign * ci[:, None, :]
+        acc_ref[:] += jnp.sum(
+            jnp.sqrt(rre * rre + rim * rim + _ROT_EPS), axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    ids = i * block + jax.lax.broadcasted_iota(jnp.int32, (C, block), 1)
+    better = ((acc_ref[:] < gold_ref[:]) & (ids < n_ent)
+              & (ids != gid_ref[:]))
+    out_ref[:] += jnp.sum(better, axis=1, keepdims=True).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sign", "n_ent", "block",
+                                             "interpret"))
+def count_better_rotate(q: jax.Array, table_rt: jax.Array, gold: jax.Array,
+                        gold_ids: jax.Array, sign: float, n_ent: int,
+                        block: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """#{e < n_ent, e ≠ gold_id_c : modulus(q_c + sign·E[e]) < gold_c}.
+
+    ``q`` [C, 2·dp] (``rotate_queries``); ``table_rt`` [2·dp, Ep]
+    (``rotate_prepare_table``); ``gold`` [C] f32; ``gold_ids`` [C]."""
+    C, D2 = q.shape
+    Dp2, Ep = table_rt.shape
+    assert D2 == Dp2 and Ep % block == 0, (D2, Dp2, Ep, block)
+    dp = D2 // 2
+    Cp = _round_up(max(C, 8), 8)
+    if Cp != C:
+        q = jnp.pad(q, ((0, Cp - C), (0, 0)))
+        gold = jnp.pad(gold, (0, Cp - C))
+        gold_ids = jnp.pad(gold_ids, (0, Cp - C), constant_values=-1)
+    nblocks = Ep // block
+
+    counts = pl.pallas_call(
+        functools.partial(_count_kernel_rotate, sign=sign, n_ent=n_ent,
+                          d_chunk=8, block=block, C=Cp, dp=dp),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((Dp2, Cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp2, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Cp, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Cp, block), jnp.float32)],
+        interpret=interpret,
+    )(q.astype(jnp.float32).T, table_rt,
+      gold.astype(jnp.float32)[:, None],
+      gold_ids.astype(jnp.int32)[:, None])
+    return counts[:C, 0]

@@ -50,6 +50,14 @@ def dense_score(model_name, cfg, params, h, t, r):
         tr, ti = et[:, :d], et[:, d:]
         return -jnp.sum(hr * rr * tr + hi * rr * ti + hr * ri * ti
                         - hi * ri * tr, -1)
+    if model_name == "rotate":
+        d = eh.shape[-1] // 2
+        hr, hi = eh[:, :d], eh[:, d:]
+        tr, ti = et[:, :d], et[:, d:]
+        cos, sin = jnp.cos(er), jnp.sin(er)
+        re = hr * cos - hi * sin - tr
+        im = hr * sin + hi * cos - ti
+        return jnp.sum(jnp.sqrt(re * re + im * im + 1e-12), -1)
     if model_name == "transd":
         hp = params["ent_transfer"][h]
         tp = params["ent_transfer"][t]

@@ -82,3 +82,28 @@ ENTRY %main (p: f32[64]) -> f32[64] {
     # wire: group of 4 → 2·(3/4)·payload; size-1 groups move nothing
     assert out["wire"] == int(2 * (3 / 4) * 64 * 4)
     assert wire_bytes_estimate(out, 8) == out["wire"]
+
+
+def test_unparseable_iota_groups_degrade_gracefully():
+    """r4 advisor: an iota replica-group variant that passes the outer
+    pattern but not the inner parse must degrade to the no-annotation
+    estimate (None), not crash the byte accounting."""
+    from openkeonspark_tpu.parallel.comm import _parse_groups
+    assert _parse_groups("replica_groups=[2,4]<=[8]") is not None
+    # malformed inner form (empty dims) -> graceful None
+    assert _parse_groups("x replica_groups={{0,1},{2,3}} y") == \
+        [[0, 1], [2, 3]]
+    assert _parse_groups("no groups here") is None
+
+
+def test_all_gather_dcn_share_is_hierarchical():
+    """The all-gather DCN model assumes the topology-optimal hierarchical
+    schedule (cross hosts once, broadcast over ICI) — the same convention
+    as all-reduce: per-device share = payload*(nb-1)/nb/chips."""
+    from openkeonspark_tpu.parallel.comm import _dcn_share
+    groups = [list(range(16))]
+    payload = 16000
+    d = _dcn_share("all-gather", payload, groups, 4)
+    assert abs(d - payload * (4 - 1) / 4 / 4) < 1e-6
+    # group inside one host: pure ICI
+    assert _dcn_share("all-gather", payload, [[0, 1, 2, 3]], 4) == 0.0

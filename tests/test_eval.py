@@ -59,7 +59,8 @@ def oracle_ranks(model_name, cfg, dense, ds, replace):
 
 
 @pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
-                                        "transd", "distmult", "complex"])
+                                        "transd", "distmult", "complex",
+                                        "rotate"])
 def test_link_prediction_matches_dense_oracle(model_name):
     kw = {}
     if model_name == "transr":

@@ -111,19 +111,24 @@ def test_config_validation():
     Config(exchange_hot_rows=64, exchange_capacity="stats")
 
 
-@pytest.mark.parametrize("model_name,opt", [("transe", "sgd"),
-                                            ("transd", "adam"),
-                                            ("transr", "adagrad")])
-def test_hier_hot_parity_vs_flat(kg, model_name, opt):
+@pytest.mark.parametrize("model_name,opt,neg_rel",
+                         [("transe", "sgd", 0),
+                          ("transd", "adam", 0),
+                          ("transr", "adagrad", 0),
+                          ("transe", "sgd", 1)])
+def test_hier_hot_parity_vs_flat(kg, model_name, opt, neg_rel):
     """hier + hot rows + stats caps on (2,2,2) matches the flat exchange
     step at f32 wire (same draws; summation order only — the bound every
     exchange parity test pins). TransD covers two entity tables sharing
-    one hot set; adam covers replicated optimizer-slot companions."""
+    one hot set; adam/adagrad cover replicated optimizer-slot
+    companions; the neg_rel case covers relation-corrupted negatives
+    riding through the hot-masked entity streams."""
     ds, idx = kg
     model = get_model(model_name)
     sam = DeviceSampler.build(ds, idx)
     base = dict(model=model_name, hidden_size=32, negative_ent=1,
-                opt_method=opt, sharded_step="exchange",
+                negative_rel=neg_rel, opt_method=opt,
+                sharded_step="exchange",
                 exchange_wire_dtype="float32",
                 exchange_ici_wire_dtype="float32")
     B = 512

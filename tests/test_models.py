@@ -7,7 +7,7 @@ from openkeonspark_tpu.config import Config
 from openkeonspark_tpu.models import get_model, init_tables, strip_padding
 from openkeonspark_tpu.models.base import padded_rows
 
-MODELS = ["transe", "transh", "transr", "transd"]
+MODELS = ["transe", "transh", "transr", "transd", "rotate"]
 
 
 def make(model_name, **kw):
@@ -97,3 +97,23 @@ def test_transh_projection_is_invariant_to_w_component():
     shifted = model.score_triples(params2, h, t, r, cfg)
     np.testing.assert_allclose(np.asarray(base), np.asarray(shifted),
                                atol=1e-4)
+
+
+def test_rotate_trains_and_evaluates():
+    """Beyond-parity RotatE: loss decreases under the shared trainer and
+    the full evaluator runs (rank exactness is covered by
+    test_eval.py::test_link_prediction_matches_dense_oracle[rotate])."""
+    from openkeonspark_tpu.data.synth import random_kg
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.eval.link_prediction import link_prediction
+    from openkeonspark_tpu.train.loop import train
+
+    ds = random_kg(n_ent=200, n_rel=6, n_triples=3000, n_valid=40,
+                   n_test=40, seed=2)
+    cfg = Config(model="rotate", hidden_size=16, alpha=0.05, margin=4.0,
+                 train_times=8, nbatches=10, negative_ent=2, log_every=0)
+    res = train(cfg, ds, echo=lambda *a, **k: None)
+    assert res.history[-1].loss < res.history[0].loss * 0.8
+    idx = build_kg_index(ds, for_eval=True)
+    lp = link_prediction(res.state.params, cfg, ds, idx)
+    assert 0.0 <= lp.filt_avg.mrr <= 1.0

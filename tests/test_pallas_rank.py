@@ -225,3 +225,61 @@ def test_transh_kernel_direct_matches_generic():
         s[np.arange(C), np.asarray(gold_ids)] = np.inf
         want = (s < np.asarray(gold)[:, None]).sum(1)
         np.testing.assert_array_equal(got, want, err_msg=replace)
+
+
+def test_rotate_kernel_matches_numpy_interpret():
+    """RotatE fused modulus kernel (r5): interpret-mode counts vs a plain
+    NumPy modulus sweep over the padded-band layout."""
+    from openkeonspark_tpu.ops.pallas_rank import (count_better_rotate,
+                                                   rotate_pad_table,
+                                                   rotate_prepare_table)
+    rng = np.random.default_rng(5)
+    E, d, C = 260, 20, 13                 # d % 8 != 0 exercises padding
+    table = rng.normal(size=(E, 2 * d)).astype(np.float32)
+    q2 = rng.normal(size=(C, 2 * d)).astype(np.float32)
+    dp = (d + 7) // 8 * 8
+    qpad = np.concatenate([np.pad(q2[:, :d], ((0, 0), (0, dp - d))),
+                           np.pad(q2[:, d:], ((0, 0), (0, dp - d)))], 1)
+    gold = rng.uniform(20, 40, size=C).astype(np.float32)
+    gold_ids = rng.integers(0, E, C).astype(np.int32)
+    tt = rotate_prepare_table(jnp.asarray(table), block=128)
+    tp = np.asarray(rotate_pad_table(jnp.asarray(table)))
+    for sign in (-1.0, 1.0):
+        got = np.asarray(count_better_rotate(
+            jnp.asarray(qpad), tt, jnp.asarray(gold),
+            jnp.asarray(gold_ids), sign=sign, n_ent=E, block=128,
+            interpret=True))
+        res = qpad[:, None, :] + sign * tp[None]        # [C, E, 2dp]
+        re, im = res[..., :dp], res[..., dp:]
+        s = np.sqrt(re * re + im * im + 1e-12).sum(-1)
+        s[np.arange(C), gold_ids] = np.inf
+        want = (s < gold[:, None]).sum(1)
+        np.testing.assert_array_equal(got, want, err_msg=f"sign={sign}")
+
+
+def test_rotate_pallas_path_matches_generic(monkeypatch):
+    """Full RotatE evaluator through the kernel (interpret on CPU) vs the
+    generic XLA path — identical ranks (both paths share the padded-lane
+    epsilon only within themselves; counts must still agree exactly on
+    this well-separated random init)."""
+    from openkeonspark_tpu.config import Config
+    from openkeonspark_tpu.data.index import build_kg_index
+    from openkeonspark_tpu.data.synth import random_kg
+    from openkeonspark_tpu.eval import link_prediction
+    from openkeonspark_tpu.models import get_model
+    from openkeonspark_tpu.train.step import init_state
+
+    ds = random_kg(n_ent=91, n_rel=7, n_triples=900, n_valid=40, n_test=40,
+                   seed=3)
+    cfg = Config(model="rotate", hidden_size=12, eval_chunk=16,
+                 eval_block=32)
+    idx = build_kg_index(ds, for_eval=True)
+    state = init_state(get_model("rotate"), cfg, ds.n_ent, ds.n_rel,
+                       jax.random.key(8))
+
+    res_generic = link_prediction(state.params, cfg, ds, idx)
+    monkeypatch.setenv("OKST_PALLAS_INTERPRET", "1")
+    res_pallas = link_prediction(state.params, cfg, ds, idx)
+    for k in res_generic.ranks:
+        np.testing.assert_array_equal(res_pallas.ranks[k],
+                                      res_generic.ranks[k], err_msg=k)

@@ -22,7 +22,7 @@ from oracle import (dense_adadelta_step, dense_adagrad_step, dense_adam_step,
                     dense_loss, dense_sgd_step, transe_manual_grad)
 
 MODELS = ["transe", "transh", "transr", "transd", "distmult",
-          "complex"]
+          "complex", "rotate"]
 
 
 def setup(model_name, loss_mode="mean_neg", opt="sgd", p_norm=1):
