@@ -462,8 +462,13 @@ def _use_pallas(cfg: Config) -> bool:
     models = ("transe", "transd", "rotate")
     if os.environ.get("OKST_EVAL_TRANSH_KERNEL") == "1":
         models = models + ("transh",)
+    # rotate's 2·dp-wide operands double the per-chunk VMEM footprint:
+    # chunk 1024 over-allocates scoped vmem and Mosaic refuses to compile
+    # (measured; chunk 512 ties 256 at 23.3k t/s) — fall back to the XLA
+    # path beyond the cap rather than crash
+    cap = 512 if cfg.model == "rotate" else 1024
     return (_pallas_available(cfg) and cfg.model in models
-            and cfg.eval_chunk_size <= 1024)
+            and cfg.eval_chunk_size <= cap)
 
 
 def _known_matrix(gi: Optional[GroupIndex], a: np.ndarray, b: np.ndarray,
