@@ -29,9 +29,9 @@ Four kernels, one per score family, p ∈ {1, 2}:
   lane modulus (r5 beyond-parity): the re/im halves live in separately
   8-padded sublane bands of the transposed table
   (``rotate_prepare_table``), so each d-chunk pass slices the paired
-  bands and takes one fused sqrt — the generic XLA path materializes the
-  [C, block, 2d] residual and ran 20× slower (3.0k vs the kernel's t/s,
-  BASELINE §5).
+  bands and takes one fused sqrt — 23.3k vs the generic XLA path's 3.0k
+  test-triples/s (7.8×; the XLA path materializes the [C, block, 2d]
+  residual — BASELINE §5).
 
 TransR keeps the XLA path: its candidate projection needs the per-query
 [dₑ×dᵣ] matrices resident, which don't fit VMEM at useful chunk sizes.
