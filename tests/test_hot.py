@@ -115,6 +115,7 @@ def test_config_validation():
                          [("transe", "sgd", 0),
                           ("transd", "adam", 0),
                           ("transr", "adagrad", 0),
+                          ("rotate", "sgd", 0),
                           ("transe", "sgd", 1)])
 def test_hier_hot_parity_vs_flat(kg, model_name, opt, neg_rel):
     """hier + hot rows + stats caps on (2,2,2) matches the flat exchange

@@ -91,7 +91,8 @@ def test_data_sharding_trains_and_stays_synced(kg):
 
 
 @pytest.mark.parametrize("model_name", ["transe", "transh", "transr",
-                                        "transd", "distmult", "complex"])
+                                        "transd", "distmult", "complex",
+                                        "rotate"])
 def test_sharded_eval_matches_single_device(kg, model_name):
     """Candidate axis over 'model', queries over 'data': ranks must equal
     the single-device evaluator exactly."""

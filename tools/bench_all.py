@@ -85,6 +85,11 @@ def bench_config(i: int, spec: dict, steps: int, repeats: int = 5) -> dict:
     key = jax.random.key(1)
     state, loss = run(state, sampler, key)
     float(loss)  # compile + honest sync (see bench.py)
+    # second warm call: the first post-compile call still pays donated-
+    # buffer relayout on some configs (measured: a lone ~2x-slow outlier
+    # in cfg 1/6 spreads) — warm until steady before timing
+    state, loss = run(state, sampler, jax.random.fold_in(key, 999))
+    float(loss)
     # median-of-N + relative spread — the r5 unified protocol (bench.py,
     # eval_bench.py): best-of-N inflated against median-denominator
     # baselines and hid the tunnel's 5-15% session swing
