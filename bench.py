@@ -109,6 +109,11 @@ def tpu_tps(ds, cfg, batch_size, steps_per_scan=200, repeats=5):
     key = jax.random.key(1)
     state, loss = run(state, sampler, key)  # compile + warmup
     float(loss)
+    # second warm call: the first post-compile call can pay donated-
+    # buffer relayout (a lone ~2x-slow run in bench_all's cfg-1/6 spreads
+    # until excluded) — warm until steady before the timed window
+    state, loss = run(state, sampler, jax.random.fold_in(key, 999))
+    float(loss)
     rates = []
     for i in range(repeats):
         key = jax.random.fold_in(key, i)
