@@ -43,7 +43,7 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None,
                    help="override nbatches-derived batch size")
     p.add_argument("--loss_mode", default="mean_neg",
-                   choices=["mean_neg", "pairwise"])
+                   choices=["mean_neg", "pairwise", "self_adv"])
     # negatives
     p.add_argument("--negative_ent", type=int, default=1)
     p.add_argument("--negative_rel", type=int, default=0)

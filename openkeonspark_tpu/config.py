@@ -42,7 +42,10 @@ class Config:
     batch_size: Optional[int] = None  # set explicitly to override nbatches
     loss_mode: str = "mean_neg"      # "mean_neg": one hinge per positive against the
                                      # mean negative score (reference TransE.py loss_def
-                                     # semantics); "pairwise": hinge per (pos, neg) pair
+                                     # semantics); "pairwise": hinge per (pos, neg) pair;
+                                     # "self_adv": RotatE-paper self-adversarial sigmoid
+                                     # loss (beyond-parity; the route that makes rotation
+                                     # models generalize — train/loss.py)
 
     # --- negative sampling --------------------------------------------
     negative_ent: int = 1            # corrupted-entity negatives per positive
@@ -154,7 +157,7 @@ class Config:
             raise ValueError(f"unknown opt_method {self.opt_method!r}")
         if self.p_norm not in (1, 2):
             raise ValueError("p_norm must be 1 or 2")
-        if self.loss_mode not in ("mean_neg", "pairwise"):
+        if self.loss_mode not in ("mean_neg", "pairwise", "self_adv"):
             raise ValueError(f"unknown loss_mode {self.loss_mode!r}")
         if self.sampler not in ("device", "host"):
             raise ValueError(f"unknown sampler {self.sampler!r}")

@@ -97,6 +97,24 @@ def _planted_projections(model: str, n_ent: int, n_rel: int, dim: int,
             return ent + dot * rel_p[r][None, :]
         return proj, v, {"ent_embeddings": ent, "rel_embeddings": v,
                          "ent_transfer": ent_p, "rel_transfer": rel_p}
+    if model == "rotate":
+        # head and tail sides see DIFFERENT projections: a triple is true
+        # when rot(h, θ_r) ≈ t, i.e. P_h = rotation, P_t = identity (v=0
+        # — the rotation itself is the relation). `dim` counts table
+        # lanes; the complex dim is dim//2 (the ceiling evaluates with
+        # hidden_size = dim//2).
+        dc = dim // 2
+        theta = rng.uniform(-np.pi, np.pi,
+                            size=(n_rel, dc)).astype(np.float32)
+        re, im = ent[:, :dc], ent[:, dc:]
+
+        def proj_h(r):
+            cos, sin = np.cos(theta[r]), np.sin(theta[r])
+            return np.concatenate([re * cos - im * sin,
+                                   re * sin + im * cos], axis=1)
+        v = np.zeros((n_rel, dim), np.float32)
+        return (proj_h, lambda r: ent), v, {"ent_embeddings": ent,
+                                            "rel_embeddings": theta}
     raise ValueError(f"no planted generator for model {model!r}")
 
 
@@ -122,6 +140,9 @@ def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
     rng = np.random.default_rng(seed)
     proj, trans, hidden = _planted_projections(model, n_ent, n_rel, dim,
                                                rng)
+    # rotate plants with DIFFERENT head/tail projections (rot(h) ≈ t);
+    # the translational families use one projection for both sides
+    proj_h, proj_t = proj if isinstance(proj, tuple) else (proj, proj)
 
     per_pair = 4  # nearest candidates per (anchor, r) draw
     n_pairs = n_triples // per_pair + 1
@@ -133,20 +154,26 @@ def planted_kg(n_ent: int = 2000, n_rel: int = 24, n_triples: int = 40000,
         sel = np.nonzero(rels == r)[0]
         if not len(sel):
             continue
-        p = proj(r)                                       # [nE, dp]
-        p2 = np.sum(p ** 2, axis=1)[None, :]
-        a = anchors[sel]
-        sign = np.where(headward[sel], -1.0, 1.0)[:, None]
-        target = p[a] + sign * trans[r][None, :]          # [c, dp]
-        d2 = (np.sum(target ** 2, 1, keepdims=True)
-              - 2.0 * target @ p.T + p2)                  # [c, nE]
-        nearest = np.argpartition(d2, per_pair, axis=1)[:, :per_pair]
-        for i, ai in enumerate(a):
-            for cand in nearest[i]:
-                if headward[sel[i]]:
-                    triples.append((cand, ai, r))         # cand = head
-                else:
-                    triples.append((ai, cand, r))         # cand = tail
+        ph, pt = proj_h(r), proj_t(r)                     # [nE, dp] each
+        # tail-ward: anchor h, target P_h[h]+v, candidates over P_t;
+        # head-ward: anchor t, target P_t[t]−v, candidates over P_h
+        for hw, p_anc, p_cand, s in ((False, ph, pt, 1.0),
+                                     (True, pt, ph, -1.0)):
+            ssel = sel[headward[sel] == hw]
+            if not len(ssel):
+                continue
+            a = anchors[ssel]
+            target = p_anc[a] + s * trans[r][None, :]     # [c, dp]
+            p2 = np.sum(p_cand ** 2, axis=1)[None, :]
+            d2 = (np.sum(target ** 2, 1, keepdims=True)
+                  - 2.0 * target @ p_cand.T + p2)         # [c, nE]
+            nearest = np.argpartition(d2, per_pair, axis=1)[:, :per_pair]
+            for i, ai in enumerate(a):
+                for cand in nearest[i]:
+                    if hw:
+                        triples.append((cand, ai, r))     # cand = head
+                    else:
+                        triples.append((ai, cand, r))     # cand = tail
     triples = np.asarray(triples, dtype=np.int32)
     if noise > 0:
         n_noise = int(len(triples) * noise)

@@ -77,6 +77,11 @@ def dense_loss(model_name, cfg, params, h, t, r, batch_size):
     neg = scores[B:].reshape(-1, B).T
     if cfg.loss_mode == "mean_neg":
         return jnp.sum(jnp.maximum(pos - jnp.mean(neg, 1) + cfg.margin, 0.0))
+    if cfg.loss_mode == "self_adv":
+        w = jax.lax.stop_gradient(
+            jax.nn.softmax(1.0 * (cfg.margin - neg), axis=1))
+        return jnp.sum(jax.nn.softplus(pos - cfg.margin)
+                       + jnp.sum(w * jax.nn.softplus(cfg.margin - neg), 1))
     return jnp.sum(jnp.maximum(pos[:, None] - neg + cfg.margin, 0.0))
 
 

@@ -55,7 +55,8 @@ def flat_ids(batch):
 
 
 @pytest.mark.parametrize("name", MODELS)
-@pytest.mark.parametrize("loss_mode", ["mean_neg", "pairwise"])
+@pytest.mark.parametrize("loss_mode", ["mean_neg", "pairwise",
+                                       "self_adv"])
 def test_sgd_step_matches_dense_oracle(name, loss_mode):
     ds, cfg, model, sampler, state = setup(name, loss_mode=loss_mode)
     B = 32

@@ -47,6 +47,17 @@ SPECS = {
     "transd": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
                dict(hidden_size=100, alpha=0.01, margin=2.0,
                     train_times=200, negative_ent=4)),
+    # beyond-parity: planted by rot(h, θ_r) ≈ t (asymmetric projections);
+    # hypers from the rotate train-sanity test scaled to this KG size
+    "rotate": (dict(n_ent=10000, n_rel=24, n_triples=200000, dim=16),
+               dict(hidden_size=50, alpha=0.05, margin=6.0,
+                    train_times=200, negative_ent=32,
+                    loss_mode="self_adv")),
+    # rotate needs the self-adversarial loss AND a high negative rate:
+    # margin ranking fits its train split but transfers ~5% of ceiling;
+    # self_adv transfers 71% at 500 ents, and at 10k ents recovery scales
+    # 7%->29%->34% with negatives 8->32 and 2x epochs — the same
+    # contrastive-scarcity law as the translational families (BASELINE 7)
 }
 
 
@@ -111,7 +122,10 @@ def main():
         # evaluator — hidden dim, p_norm=2 (the generator plants by
         # squared-Euclidean nearest neighbors)
         dim = kg_kw["dim"]
-        ceil_cfg = Config(model=name, hidden_size=dim, p_norm=2,
+        # rotate's `dim` counts table lanes; its complex hidden dim (and
+        # the phase table width the ceiling must declare) is dim//2
+        hs = dim // 2 if name == "rotate" else dim
+        ceil_cfg = Config(model=name, hidden_size=hs, p_norm=2,
                           **({"ent_size": dim, "rel_size": max(2, dim // 2)}
                              if name == "transr" else {}))
         ceil = link_prediction({k: jnp.asarray(v) for k, v in hidden.items()},
