@@ -144,6 +144,27 @@ def test_planted_rotate_recovery():
     assert_recovers(lp, ceil, "rotate")
 
 
+@pytest.mark.parametrize("model_name", ["distmult", "complex"])
+def test_planted_bilinear_recovery(model_name):
+    """Beyond-parity bilinears recover the translation-planted structure
+    (nearest-neighbor clusters are also high-dot-product clusters — the
+    generator's stated rationale, now asserted: measured 0.70-0.80 of the
+    transe ceiling at this shape). The ceiling is the transe hidden
+    tables — the structure is translation-planted regardless of which
+    family trains on it."""
+    ds, hidden = planted_kg(n_ent=150, n_rel=4, n_triples=3000, n_valid=80,
+                            n_test=120, dim=6, noise=0.0, seed=1,
+                            model="transe", with_params=True)
+    cfg = Config(model=model_name, hidden_size=24, alpha=0.05, margin=2.0,
+                 train_times=60, nbatches=15, negative_ent=2,
+                 use_pallas_eval=False, eval_chunk=64, eval_block=128)
+    res = train(cfg, ds, echo=lambda *a, **k: None)
+    idx = build_kg_index(ds, for_eval=True)
+    lp = link_prediction(res.state.params, cfg, ds, idx, triples=ds.test)
+    ceil = ceiling_eval("transe", ds, hidden, 6, idx)
+    assert_recovers(lp, ceil, model_name)
+
+
 def test_nan_params_refuse_to_evaluate():
     """NaN scores compare False everywhere → rank 0 → fake-perfect
     Hits@10; the evaluator must fail loudly instead."""
