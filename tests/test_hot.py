@@ -273,3 +273,49 @@ def test_train_loop_with_hot_rows(kg):
     np.testing.assert_array_equal(
         np.asarray(res.state.params["ent_embeddings" + HOT_SUFFIX]),
         np.asarray(res.state.params["ent_embeddings"])[hot])
+
+
+def test_checkpoint_roundtrip_with_hot_companions(tmp_path, kg):
+    """Hot companions ride orbax checkpoints like any other table: save a
+    trained hier+hot state, restore into a fresh template (same cfg),
+    resume one step — bitwise state match against an uninterrupted run."""
+    ds, idx = kg
+    from openkeonspark_tpu.ckpt import CheckpointManager
+    model = get_model("transe")
+    sam = DeviceSampler.build(ds, idx)
+    cfg = Config(model="transe", hidden_size=16, negative_ent=1,
+                 sharded_step="exchange", exchange_hot_rows=64,
+                 exchange_capacity="stats", exchange_wire_dtype="float32",
+                 exchange_ici_wire_dtype="float32")
+    mesh = make_mesh((2, 2, 2))
+    st = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
+                    pad_to_multiple=8)
+    st = sync_hot_cache(shard_state(st, mesh, flat=True), model, cfg, sam)
+    ss = shard_sampler(sam, mesh)
+    step = jax.jit(build_train_step_for(model, cfg, ss, 512, mesh))
+    st, _ = step(st, ss, jax.random.key(1))
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(int(st.step), st)
+    # uninterrupted continuation
+    st_cont, _ = step(st, ss, jax.random.key(2))
+
+    tmpl = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(9),
+                      pad_to_multiple=8)
+    tmpl = shard_state(tmpl, mesh, flat=True)
+    back, _ = mgr.restore(tmpl)
+    assert "ent_embeddings" + HOT_SUFFIX in back.params
+    np.testing.assert_array_equal(
+        np.asarray(back.params["ent_embeddings" + HOT_SUFFIX]),
+        np.asarray(st.params["ent_embeddings" + HOT_SUFFIX]))
+    back = shard_state(
+        type(back)(params={k: np.asarray(v) for k, v in
+                           back.params.items()},
+                   opt_state={s: {k: np.asarray(v) for k, v in d.items()}
+                              for s, d in back.opt_state.items()},
+                   step=np.asarray(back.step)), mesh, flat=True)
+    st_res, _ = step(back, ss, jax.random.key(2))
+    for t in st_cont.params:
+        np.testing.assert_array_equal(np.asarray(st_res.params[t]),
+                                      np.asarray(st_cont.params[t]),
+                                      err_msg=t)
