@@ -119,8 +119,15 @@ def main():
             print(json.dumps(rec), flush=True)
 
     if args.write_anchor:
+        # MERGE into the stored anchors: writing a subset of models (e.g.
+        # anchoring a newly added family) must not erase the others'
+        # pinned medians — those are the drift baselines
+        merged = dict(anchor) if anchor else {}
+        merged.update({k: v for k, v in new_anchor.items()
+                       if k != "medians"})
+        merged.setdefault("medians", {}).update(new_anchor["medians"])
         with open(ANCHOR_PATH, "w") as f:
-            json.dump(new_anchor, f, indent=1)
+            json.dump(merged, f, indent=1)
         print(f"# anchor written to {ANCHOR_PATH}", flush=True)
 
 
