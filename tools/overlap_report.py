@@ -125,9 +125,14 @@ def entry_dependency_stats(hlo_text: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mesh", default="2,4")
+    ap.add_argument("--mesh", default="2,4",
+                    help="2 ints = flat exchange; 3 = hierarchical "
+                         "(host,data,model), e.g. 2,2,2")
     ap.add_argument("--mbs", default="1,2,4,8")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--hot-rows", type=int, default=0)
+    ap.add_argument("--capacity", default="uniform",
+                    choices=["uniform", "stats"])
     args = ap.parse_args()
     mesh_shape = tuple(int(x) for x in args.mesh.split(","))
 
@@ -137,7 +142,8 @@ def main():
     from openkeonspark_tpu.models import get_model
     from openkeonspark_tpu.parallel import make_mesh, shard_state
     from openkeonspark_tpu.parallel.comm import hlo_collective_bytes
-    from openkeonspark_tpu.parallel.exchange import build_exchange_train_step
+    from openkeonspark_tpu.parallel import sync_hot_cache
+    from openkeonspark_tpu.parallel.exchange import build_train_step_for
     from openkeonspark_tpu.sampling.device import DeviceSampler
     from openkeonspark_tpu.train.step import init_state
 
@@ -146,18 +152,24 @@ def main():
     model_name = "transe"
     B = 2048
     mesh = make_mesh(mesh_shape)
-    n_grid = mesh_shape[0] * mesh_shape[1]
+    n_grid = 1
+    for x in mesh_shape:
+        n_grid *= x
     model = get_model(model_name)
     index = build_kg_index(ds, for_eval=False)
     sampler = DeviceSampler.build(ds, index)
 
     for mb in [int(x) for x in args.mbs.split(",")]:
         cfg = Config(model=model_name, hidden_size=128, negative_ent=4,
-                     exchange_microbatches=mb)
+                     exchange_microbatches=mb,
+                     exchange_hot_rows=args.hot_rows,
+                     exchange_capacity=args.capacity)
         state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(0),
                            pad_to_multiple=n_grid)
         state = shard_state(state, mesh, flat=True)
-        step = build_exchange_train_step(model, cfg, sampler, B, mesh)
+        if args.hot_rows:
+            state = sync_hot_cache(state, model, cfg, sampler)
+        step = build_train_step_for(model, cfg, sampler, B, mesh)
         jitted = jax.jit(step)
         lowered = jitted.lower(state, sampler, jax.random.key(1))
         hlo = lowered.compiler_ir(dialect="hlo").as_hlo_text()
