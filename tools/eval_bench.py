@@ -37,7 +37,8 @@ ANCHOR_PATH = os.path.join(os.path.dirname(os.path.dirname(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="transe,transh,transr,transd")
+    ap.add_argument("--models",
+                    default="transe,transh,transr,transd,rotate")
     ap.add_argument("--dtypes", default="float32,bfloat16")
     ap.add_argument("--n_test", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=5)
