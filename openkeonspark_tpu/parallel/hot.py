@@ -36,11 +36,12 @@ remote fraction (H−1)/H and the 4-host (4,2,2) prediction collapsed to
   degree tables: P(row i touched by a stream) = 1 − exp(−λ_i) with
   λ_i = m_h·deg_h(i)/T + m_t·deg_t(i)/T + m_u/n_ent (positives are
   degree-weighted draws from the triple store; Bernoulli corruption draws
-  replacement entities uniformly), and capacity = slack × the **maximum**
-  expected bucket load over all owners — honest about placement skew,
-  tight where the uniform bound was loose. Overflow beyond the capacity
-  still takes the exchange steps' cond-gated exact fallbacks, so a
-  mis-estimate costs speed, never correctness.
+  replacement entities uniformly), and capacity = the **maximum** over
+  buckets of (expected load + ``CAP_Z``·σ) — honest about placement
+  skew, tight where the uniform bound's blanket slack was loose.
+  Overflow beyond the capacity still takes the exchange steps'
+  cond-gated exact fallbacks, so a mis-estimate costs speed, never
+  correctness.
 
 Measured effect (tools/scaling_report.py, flagship geometry, bf16 wire):
 the (4,2,2) 16-device / 4-DCN-host prediction rises from 60.1%
