@@ -319,3 +319,36 @@ def test_checkpoint_roundtrip_with_hot_companions(tmp_path, kg):
         np.testing.assert_array_equal(np.asarray(st_res.params[t]),
                                       np.asarray(st_cont.params[t]),
                                       err_msg=t)
+
+
+def test_stats_caps_rarely_overflow_monte_carlo(kg):
+    """The statistical capacities (max bucket mean + CAP_Z·σ) must make
+    runtime overflow — and hence the cond-gated slow path — rare: 200
+    simulated host-chunk draws at the plan's own geometry produce zero
+    stage-2 bucket overflows (the exact fallback keeps correctness if one
+    ever fires; this pins the 'amortized noise' performance claim)."""
+    ds, idx = kg
+    model = get_model("transe")
+    sam = DeviceSampler.build(ds, idx)
+    L, H, n_grid = 4, 2, 8
+    b_sub = 256
+    lp = -(-ds.n_ent // n_grid)
+    cfg = Config(model="transe", hidden_size=32, negative_ent=1,
+                 exchange_hot_rows=128, exchange_capacity="stats")
+    plan = HotPlan(model, cfg, sam, b_sub, {"ent_embeddings": lp}, L, H)
+    cap2 = plan.caps["ent_embeddings"]["c2"]
+    cold = np.ones(lp * n_grid, bool)
+    cold[plan.hot_ids_np] = False
+    owner = np.arange(lp * n_grid) // lp
+    rng = np.random.default_rng(0)
+    train = ds.train
+    overflows = 0
+    for _ in range(200):
+        pos = rng.integers(0, len(train), L * b_sub)
+        ids = np.unique(np.concatenate([
+            train[pos, 0], train[pos, 1],
+            rng.integers(0, ds.n_ent, L * b_sub)]))
+        ids = ids[cold[ids]]
+        if np.bincount(owner[ids], minlength=n_grid).max() > cap2:
+            overflows += 1
+    assert overflows <= 2, (overflows, cap2)   # ≤1% of chunks
