@@ -14,7 +14,8 @@ reports ``recovery = trained_hits10 / ceiling_hits10``. The numbers this
 prints are the anchors BASELINE.md pins (regressions in sampling/loss/
 eval all surface here).
 
-Usage: python tools/quality_anchors.py [--models transe,transh,transr,transd]
+Usage: python tools/quality_anchors.py
+  [--models transe,transh,transr,transd,distmult,complex,rotate]
 Prints one JSON line per family.
 """
 
