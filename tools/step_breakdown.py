@@ -78,44 +78,51 @@ def main():
     state = init_state(model, cfg, ds.n_ent, ds.n_rel, jax.random.key(7))
     opt = make_optimizer(cfg)
 
+    from openkeonspark_tpu.sampling.device import DeviceSampler as _DS
+    bits_shape = (S, B, _DS.bits_cols(cfg.negative_ent, cfg.negative_rel))
+
     def scan_over_keys(stage_fn):
-        """Scan ``stage_fn(params, sampler, key) -> scalar`` S times with a
-        running-sum carry (defeats DCE without carrying table state)."""
+        """Scan ``stage_fn(params, sampler, key, bits) -> scalar`` S times
+        with a running-sum carry (defeats DCE without carrying table
+        state). Random bits are pre-drawn in ONE batched call exactly like
+        the bench path (``build_scan_steps``) — the r5 re-run showed the
+        old per-step threefry draws inflating the 'sampling' stage vs
+        what training actually pays."""
         @jax.jit
         def run(params, sampler_, key):
-            def body(acc, k):
-                return acc + stage_fn(params, sampler_, k), None
-            keys = jax.random.split(key, S)
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+            bits = jax.random.bits(key, bits_shape, dtype=jnp.uint32)
+            def body(acc, b):
+                return acc + stage_fn(params, sampler_, key, b), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), bits)
             return acc
         return run
 
-    def stage_sample(params, sampler_, key):
+    def stage_sample(params, sampler_, key, bits=None):
         b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
-                            cfg.bern)
+                            cfg.bern, bits=bits)
         acc = (jnp.sum(b.h) + jnp.sum(b.t) + jnp.sum(b.r)).astype(jnp.float32)
         if b.neg_h is not None:
             acc += (jnp.sum(b.neg_h) + jnp.sum(b.neg_t)).astype(jnp.float32)
         return acc
 
-    def stage_gather(params, sampler_, key):
+    def stage_gather(params, sampler_, key, bits=None):
         b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
-                            cfg.bern)
+                            cfg.bern, bits=bits)
         slots, _ = gather_slots_structured(model, params, b)
         return sum(jnp.sum(v).astype(jnp.float32) for v in slots.values())
 
-    def stage_score(params, sampler_, key):
+    def stage_score(params, sampler_, key, bits=None):
         b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
-                            cfg.bern)
+                            cfg.bern, bits=bits)
         slots, n_neg = gather_slots_structured(model, params, b)
         shaped = {k: v.reshape(v.shape[0] // B, B, v.shape[-1])
                   for k, v in slots.items()}
         return jnp.sum(model.score(shaped, cfg)).astype(jnp.float32)
 
-    def stage_grad(params, sampler_, key):
+    def stage_grad(params, sampler_, key, bits=None):
         from openkeonspark_tpu.train.optim import DenseUpdate
         b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
-                            cfg.bern)
+                            cfg.bern, bits=bits)
         loss, updates = loss_and_row_grads(model, cfg, params, b)
         acc = loss
         for pairs in updates.values():
@@ -129,15 +136,15 @@ def main():
     # full step carries real state (donated) — matches bench_all exactly
     @functools.partial(jax.jit, donate_argnums=(0,))
     def full(state_, sampler_, key):
-        def body(st, k):
-            b = sampler_.sample(k, B, cfg.negative_ent, cfg.negative_rel,
-                                cfg.bern)
+        bits = jax.random.bits(key, bits_shape, dtype=jnp.uint32)
+        def body(st, bb):
+            b = sampler_.sample(key, B, cfg.negative_ent, cfg.negative_rel,
+                                cfg.bern, bits=bb)
             loss, updates = loss_and_row_grads(model, cfg, st.params, b)
             params, opt_state = opt.apply(st.params, st.opt_state, updates,
                                           st.step)
             return type(st)(params, opt_state, st.step + 1), loss
-        keys = jax.random.split(key, S)
-        st, losses = jax.lax.scan(body, state_, keys)
+        st, losses = jax.lax.scan(body, state_, bits)
         return st, jnp.mean(losses)
 
     key = jax.random.key(3)
